@@ -1,0 +1,1 @@
+from . import layers, metaseg_unet, nuset, classifiers

@@ -1,0 +1,94 @@
+"""The metaseg 4-class segmentation U-Net.
+
+The reference never defines this architecture in code -- it lives inside the
+opaque Keras blob ``models/metaseg.h5`` loaded at reference src/utils.py:27-33
+and run at src/utils.py:115.  Two paths are supported here:
+
+1. **Imported weights** (production): :mod:`ecseg_tpu.models.keras_import`
+   reconstructs the layer graph from the H5's embedded Keras config and maps
+   the weights into this module's parameter pytree.  Any H5 whose graph is a
+   plain encoder/decoder U-Net (Conv2D / MaxPool / Conv2DTranspose or
+   UpSampling / Concatenate / BatchNorm / Activation) is supported.
+2. **Default architecture** (development, benchmarking, tests): the classic
+   U-Net below -- input (256, 256, 1), encoder widths (64, 128, 256, 512),
+   bottleneck 1024, decoder with skip concats, final 1x1 conv to 4 classes +
+   softmax.  Matches the patch contract of the reference (256x256 tiles,
+   4-channel output stitched at reference src/utils.py:113-118).
+
+The forward pass takes NHWC uint8/float patches, normalizes to [0, 1], and
+returns per-pixel 4-class probabilities.  It is pure and jit/shard_map-safe;
+the hot path runs it in bfloat16 (class argmax is rank-stable under bf16 for
+this head, and the parity tests pin the fp32 path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from .layers import conv2d, conv2d_transpose, conv_params, max_pool, relu
+
+ENC_WIDTHS = (64, 128, 256, 512)
+BOTTLENECK = 1024
+NUM_CLASSES = 4
+PATCH = 256
+
+
+def init_params(key, in_ch: int = 1) -> Dict:
+    keys = iter(jax.random.split(key, 64))
+    p: Dict = {}
+    c = in_ch
+    for i, w in enumerate(ENC_WIDTHS, start=1):
+        p[f"enc{i}_1"] = conv_params(next(keys), 3, 3, c, w)
+        p[f"enc{i}_2"] = conv_params(next(keys), 3, 3, w, w)
+        c = w
+    p["bott_1"] = conv_params(next(keys), 3, 3, c, BOTTLENECK)
+    p["bott_2"] = conv_params(next(keys), 3, 3, BOTTLENECK, BOTTLENECK)
+    c = BOTTLENECK
+    for i, w in zip(range(len(ENC_WIDTHS), 0, -1), reversed(ENC_WIDTHS)):
+        p[f"up{i}"] = conv_params(next(keys), 3, 3, c, w)
+        p[f"dec{i}_1"] = conv_params(next(keys), 3, 3, 2 * w, w)
+        p[f"dec{i}_2"] = conv_params(next(keys), 3, 3, w, w)
+        c = w
+    p["head"] = conv_params(next(keys), 1, 1, c, NUM_CLASSES)
+    return p
+
+
+def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """(N, H, W, C) patches -> (N, H, W, 4) softmax probabilities."""
+    x = x.astype(dtype)
+    if x.dtype != jnp.bfloat16 and dtype == jnp.bfloat16:
+        x = x.astype(jnp.bfloat16)
+    x = x / jnp.asarray(255.0, dtype)
+
+    skips = []
+    for i in range(1, len(ENC_WIDTHS) + 1):
+        x = relu(conv2d(x, params[f"enc{i}_1"]["kernel"], params[f"enc{i}_1"]["bias"]))
+        x = relu(conv2d(x, params[f"enc{i}_2"]["kernel"], params[f"enc{i}_2"]["bias"]))
+        skips.append(x)
+        x = max_pool(x)
+
+    x = relu(conv2d(x, params["bott_1"]["kernel"], params["bott_1"]["bias"]))
+    x = relu(conv2d(x, params["bott_2"]["kernel"], params["bott_2"]["bias"]))
+
+    for i in range(len(ENC_WIDTHS), 0, -1):
+        x = relu(
+            conv2d_transpose(x, params[f"up{i}"]["kernel"], params[f"up{i}"]["bias"])
+        )
+        x = jnp.concatenate([skips[i - 1].astype(x.dtype), x], axis=-1)
+        x = relu(conv2d(x, params[f"dec{i}_1"]["kernel"], params[f"dec{i}_1"]["bias"]))
+        x = relu(conv2d(x, params[f"dec{i}_2"]["kernel"], params[f"dec{i}_2"]["bias"]))
+
+    logits = conv2d(x, params["head"]["kernel"], params["head"]["bias"])
+    # Softmax in fp32 for a stable, parity-safe probability map.
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def predict_on_batch(params: Dict, patches: jnp.ndarray, dtype=jnp.float32):
+    """The device analog of Keras ``model.predict_on_batch``
+    (reference src/utils.py:115)."""
+    return forward(params, patches, dtype=dtype)

@@ -1,0 +1,126 @@
+"""skimage-compatible resize / rescale on scipy.ndimage, plus a JAX variant.
+
+The reference uses ``skimage.transform.rescale``/``resize``
+(reference src/utils.py:135-136,156-157; src/interseg.py:46,154).  skimage
+implements these on ``scipy.ndimage.zoom(grid_mode=True)`` with an optional
+gaussian anti-aliasing prefilter; we reproduce that directly (skimage itself
+is not a dependency):
+
+- mode names are numpy.pad-style and map onto scipy.ndimage modes
+  ('reflect' -> 'mirror', 'symmetric' -> 'reflect', 'edge' -> 'nearest');
+- ``preserve_range=False`` first converts integer images to float via
+  img_as_float (divide by dtype max);
+- anti-aliasing sigma per axis: ``max(0, (downscale_factor - 1) / 2)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage as ndi
+
+_NDI_MODE = {
+    "reflect": "mirror",
+    "symmetric": "reflect",
+    "edge": "nearest",
+    "constant": "constant",
+    "wrap": "grid-wrap",
+}
+
+
+def img_as_float(image: np.ndarray) -> np.ndarray:
+    if np.issubdtype(image.dtype, np.floating):
+        return image
+    info = np.iinfo(image.dtype)
+    if info.min < 0:
+        raise NotImplementedError("signed integer images not supported")
+    return image.astype(np.float64) / info.max
+
+
+def resize(
+    image: np.ndarray,
+    output_shape: Sequence[int],
+    order: int = 1,
+    mode: str = "reflect",
+    cval: float = 0.0,
+    clip: bool = True,
+    preserve_range: bool = False,
+    anti_aliasing: Optional[bool] = None,
+    anti_aliasing_sigma=None,
+) -> np.ndarray:
+    image = np.asarray(image)
+    output_shape = tuple(output_shape)
+    # Trailing (e.g. channel) axes not covered by output_shape keep their size.
+    if len(output_shape) < image.ndim:
+        output_shape = output_shape + image.shape[len(output_shape) :]
+
+    input_shape = image.shape
+    factors = np.divide(input_shape, output_shape)
+
+    if anti_aliasing is None:
+        anti_aliasing = (
+            not image.dtype == bool
+            and not (np.issubdtype(image.dtype, np.integer) and order == 0)
+            and any(x < y for x, y in zip(output_shape, input_shape))
+        )
+
+    if not preserve_range:
+        image = img_as_float(image)
+    else:
+        image = image.astype(np.float64)
+
+    ndi_mode = _NDI_MODE.get(mode, mode)
+    if anti_aliasing:
+        if anti_aliasing_sigma is None:
+            anti_aliasing_sigma = np.maximum(0, (factors - 1) / 2)
+        filtered = ndi.gaussian_filter(
+            image, anti_aliasing_sigma, cval=cval, mode=ndi_mode
+        )
+    else:
+        filtered = image
+
+    zoom_factors = [1 / f for f in factors]
+    out = ndi.zoom(
+        filtered, zoom_factors, order=order, mode=ndi_mode, cval=cval, grid_mode=True
+    )
+    if clip:
+        out = np.clip(out, image.min(), image.max())
+    return out
+
+
+def rescale(
+    image: np.ndarray,
+    scale: float,
+    order: int = 1,
+    mode: str = "reflect",
+    cval: float = 0.0,
+    clip: bool = True,
+    preserve_range: bool = False,
+    anti_aliasing: Optional[bool] = None,
+) -> np.ndarray:
+    """skimage.transform.rescale for 2-D images (reference src/utils.py:136,157)."""
+    image = np.asarray(image)
+    output_shape = tuple(
+        int(d) for d in np.maximum(np.round(np.multiply(image.shape[:2], scale)), 1)
+    )
+    return resize(
+        image,
+        output_shape,
+        order=order,
+        mode=mode,
+        cval=cval,
+        clip=clip,
+        preserve_range=preserve_range,
+        anti_aliasing=anti_aliasing,
+    )
+
+
+def resize_jax(image, output_shape: Tuple[int, int], antialias: bool = False):
+    """Device-side bilinear resize with half-pixel centers (the same sampling
+    grid as ``ndi.zoom(grid_mode=True)``), for the TPU hot path.  Exact-parity
+    consumers use the host :func:`resize`."""
+    import jax.image
+
+    shape = tuple(output_shape) + tuple(image.shape[2:])
+    return jax.image.resize(image, shape, method="linear", antialias=antialias)

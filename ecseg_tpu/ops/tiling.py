@@ -1,0 +1,218 @@
+"""Overlap tiling and seam-aware stitching.
+
+Reproduces the reference's axondeepseg-derived patch logic exactly
+(reference src/image_tools.py:148-252), including its asymmetric rim-copy
+branches (the ``L_pos[i][1] != h_l`` axis mix-up at image_tools.py:242 is
+replicated bug-for-bug, as stitched borders feed the argmax that defines the
+public seg.npy output).
+
+Two implementations are provided:
+
+- host (numpy) -- the parity reference, byte-exact;
+- device (JAX) -- a static-shape batched stitcher used by the TPU pipeline;
+  for any fixed image geometry it produces outputs identical to the host
+  version (covered by tests), while keeping the whole patch batch on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+OVERLAP = 25
+SCW = 256  # context window (model input) size
+NUM_CLASSES = 4
+
+
+def patch_positions(
+    height: int, width: int, overlap_value: int = OVERLAP, scw: int = SCW
+) -> List[Tuple[int, int]]:
+    """Prediction-window positions for an image of the given size
+    (reference src/image_tools.py:156-178)."""
+    ch = height - 2 * overlap_value  # cropped height
+    cw = width - 2 * overlap_value
+    spw = scw - 2 * overlap_value
+
+    qh, rh = divmod(ch, spw)
+    qw, rw = divmod(cw, spw)
+
+    L_h = [spw * e for e in range(qh)]
+    L_w = [spw * e for e in range(qw)]
+    if rh != 0:
+        L_h.append(ch - spw)
+    if rw != 0:
+        L_w.append(cw - spw)
+
+    xx, yy = np.meshgrid(L_h, L_w)
+    P = [np.ravel(xx), np.ravel(yy)]
+    return [(int(P[0][i]), int(P[1][i])) for i in range(len(P[0]))]
+
+
+def im2patches_overlap(
+    img: np.ndarray, overlap_value: int = OVERLAP, scw: int = SCW
+):
+    """Slice ``img`` (H, W[, C]) into scw x scw patches at the overlap
+    positions (reference src/image_tools.py:148-186).
+
+    Returns ``(img, patches, positions)`` where ``patches`` is a stacked
+    array of shape (N, scw, scw[, C]).
+    """
+    pos = patch_positions(img.shape[0], img.shape[1], overlap_value, scw)
+    patches = np.stack([img[y : y + scw, x : x + scw] for (y, x) in pos])
+    return img, patches, pos
+
+
+def patches2im_overlap(
+    patches: Sequence[np.ndarray],
+    positions: Sequence[Tuple[int, int]],
+    overlap_value: int = OVERLAP,
+    scw: int = SCW,
+) -> np.ndarray:
+    """Stitch per-patch predictions into one float canvas, byte-exact with
+    reference src/image_tools.py:188-252.
+
+    ``patches``: (N, scw, scw, C) predictions.  Returns (h_l+scw, w_l+scw, C).
+    """
+    ov = overlap_value
+    spw = scw - 2 * ov
+    L_pos = [list(p) for p in positions]
+    h_l, w_l = np.max(np.stack(L_pos), axis=0)
+    nch = patches[0].shape[-1]
+    new_img = np.zeros((h_l + scw, w_l + scw, nch), dtype=np.float64)
+
+    for i, e in enumerate(patches):
+        if L_pos[i][0] == 0:
+            if L_pos[i][1] == 0:
+                new_img[0:ov, 0:ov] = e[0:ov, 0:ov]
+                new_img[ov : scw - ov, 0:ov] = e[ov:-ov, 0:ov]
+                new_img[0:ov, ov : scw - ov] = e[0:ov, ov:-ov]
+            else:
+                if L_pos[i][1] == w_l:
+                    new_img[0:ov, -ov:] = e[0:ov, -ov:]
+                new_img[0:ov, L_pos[i][1] + ov : L_pos[i][1] + scw - ov] = e[
+                    0:ov, ov:-ov
+                ]
+
+        if L_pos[i][1] == 0:
+            if L_pos[i][0] != 0:
+                new_img[L_pos[i][0] + ov : L_pos[i][0] + scw - ov, 0:ov] = e[
+                    ov:-ov, 0:ov
+                ]
+
+        if L_pos[i][0] == h_l:
+            if L_pos[i][1] == w_l:
+                new_img[-ov:, -ov:] = e[-ov:, -ov:]
+                new_img[h_l + ov : -ov, -ov:] = e[ov:-ov, -ov:]
+                new_img[-ov:, w_l + ov : -ov] = e[-ov:, ov:-ov]
+            else:
+                if L_pos[i][1] == 0:
+                    new_img[-ov:, 0:ov] = e[-ov:, 0:ov]
+                new_img[-ov:, L_pos[i][1] + ov : L_pos[i][1] + scw - ov] = e[
+                    -ov:, ov:-ov
+                ]
+
+        # NOTE: the reference compares the *column* position to h_l here
+        # (image_tools.py:242); replicated as-is for parity.
+        if L_pos[i][1] == w_l:
+            if L_pos[i][1] != h_l:
+                new_img[L_pos[i][0] + ov : L_pos[i][0] + scw - ov, -ov:] = e[
+                    ov:-ov, -ov:
+                ]
+
+    for i, e in enumerate(patches):
+        y = L_pos[i][0] + ov
+        x = L_pos[i][1] + ov
+        new_img[y : y + spw, x : x + spw] = e[ov:-ov, ov:-ov]
+
+    return new_img
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) path
+# ---------------------------------------------------------------------------
+
+
+def _stitch_plan(positions, overlap_value, scw, h_l, w_l):
+    """Precompute the exact (src_slice -> dst_slice) copy list the host
+    stitcher performs, as static data for the JAX stitcher."""
+    ov = overlap_value
+    spw = scw - 2 * ov
+    copies = []  # (patch_idx, src_y0, src_x0, dst_y0, dst_x0, sh, sw)
+    H = h_l + scw
+    W = w_l + scw
+
+    def add(i, src_y, src_x, dst_y, dst_x, sh, sw):
+        if sh > 0 and sw > 0:
+            copies.append((i, src_y, src_x, dst_y, dst_x, sh, sw))
+
+    for i, (py, px) in enumerate(positions):
+        if py == 0:
+            if px == 0:
+                add(i, 0, 0, 0, 0, ov, ov)
+                add(i, ov, 0, ov, 0, scw - 2 * ov, ov)
+                add(i, 0, ov, 0, ov, ov, scw - 2 * ov)
+            else:
+                if px == w_l:
+                    add(i, 0, scw - ov, 0, W - ov, ov, ov)
+                add(i, 0, ov, 0, px + ov, ov, scw - 2 * ov)
+        if px == 0 and py != 0:
+            add(i, ov, 0, py + ov, 0, scw - 2 * ov, ov)
+        if py == h_l:
+            if px == w_l:
+                add(i, scw - ov, scw - ov, H - ov, W - ov, ov, ov)
+                add(i, ov, scw - ov, h_l + ov, W - ov, H - ov - (h_l + ov), ov)
+                add(i, scw - ov, ov, H - ov, w_l + ov, ov, W - ov - (w_l + ov))
+            else:
+                if px == 0:
+                    add(i, scw - ov, 0, H - ov, 0, ov, ov)
+                add(i, scw - ov, ov, H - ov, px + ov, ov, scw - 2 * ov)
+        if px == w_l and px != h_l:  # replicated reference quirk (see above)
+            add(i, ov, scw - ov, py + ov, W - ov, scw - 2 * ov, ov)
+
+    for i, (py, px) in enumerate(positions):
+        add(i, ov, ov, py + ov, px + ov, spw, spw)
+    return copies, H, W
+
+
+@functools.lru_cache(maxsize=64)
+def _stitch_plan_cached(positions_key, overlap_value, scw, h_l, w_l):
+    return _stitch_plan(list(positions_key), overlap_value, scw, h_l, w_l)
+
+
+def stitch_patches_jax(
+    patches,
+    positions: Sequence[Tuple[int, int]],
+    overlap_value: int = OVERLAP,
+    scw: int = SCW,
+):
+    """JAX stitcher: identical copy semantics to :func:`patches2im_overlap`
+    but expressed as a static sequence of ``dynamic_update_slice`` writes so
+    the whole operation stays on device and fuses under jit.
+
+    ``patches``: (N, scw, scw, C) array (device).  Returns (H, W, C).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    pos_arr = np.asarray(positions)
+    h_l = int(pos_arr[:, 0].max())
+    w_l = int(pos_arr[:, 1].max())
+    copies, H, W = _stitch_plan_cached(
+        tuple(map(tuple, positions)), overlap_value, scw, h_l, w_l
+    )
+    C = patches.shape[-1]
+    canvas = jnp.zeros((H, W, C), dtype=patches.dtype)
+    for (i, sy, sx, dy, dx, sh, sw) in copies:
+        block = lax.dynamic_slice(patches[i], (sy, sx, 0), (sh, sw, C))
+        canvas = lax.dynamic_update_slice(canvas, block, (dy, dx, 0))
+    return canvas
+
+
+def img_as_ubyte_float(x: np.ndarray) -> np.ndarray:
+    """skimage ``img_as_ubyte`` for float input in [0, 1]: multiply by 255,
+    round half-to-even, clip (used at reference src/utils.py:117)."""
+    return np.clip(np.rint(np.asarray(x, dtype=np.float64) * 255), 0, 255).astype(
+        np.uint8
+    )

