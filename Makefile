@@ -25,3 +25,6 @@ bench:
 
 clean:
 	rm -rf __pycache__ ecseg_tpu/__pycache__
+
+native:
+	g++ -O3 -march=native -shared -fPIC -o ecseg_tpu/native/libecseg_native.so ecseg_tpu/native/cc_maxflow.cpp

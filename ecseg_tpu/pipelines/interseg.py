@@ -1,0 +1,285 @@
+"""interseg: per-nucleus ecDNA/HSR amplification classification.
+
+Parity target: reference src/interseg.py:49-258.  Reads stat_fish outputs
+(``annotated/stat_fish_lsq.csv`` + ``<img>_segmentation.tif``), relabels
+nuclei, and per region: skips if mean target-FISH brightness < 12.75; crops
+the bbox (<= 256^2) and resizes to 256x256 for the ecSeg-i 3-class softmax on
+the target-FISH channel; optionally gates ecSeg-c (sigmoid Focal-amp) on
+centromere brightness > 10 and a kurtosis quality score <= 3.  Oversized
+regions are tiled into non-overlapping 256^2 patches (resized, per-patch
+predictions, empty-patch guard).  Emits
+``interphase_prediction_<color>.csv``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from scipy.stats import kurtosis
+
+from ..core import imgio
+from ..core.config import Config, load_config
+from ..ops.cc import label as cc_label, regionprops
+from ..ops.resize import resize
+
+ECSEG_I_MODEL = "interseg"
+ECSEG_C_MODEL = "ecseg_c"
+
+ECSEG_I_LABEL_MAP = {0: "No-amp", 1: "EC-amp", 2: "HSR-amp"}
+ECSEG_C_LABEL_MAP = {0: "No-amp", 1: "Focal-amp"}
+INTERSEG_LABEL_MAP = {
+    ("No-amp", "No-amp"): "No-amp",
+    ("No-amp", "EC-amp"): "No-amp",
+    ("No-amp", "HSR-amp"): "No-amp",
+    ("Focal-amp", "No-amp"): "No-amp",
+    ("Focal-amp", "EC-amp"): "EC-amp",
+    ("Focal-amp", "HSR-amp"): "HSR-amp",
+}
+
+
+def preprocess_ecseg_c(x: np.ndarray) -> np.ndarray:
+    """Per-image channel normalization, round to 1/255 steps
+    (reference src/utils.py:166-173)."""
+    x = np.asarray(x, np.float32)
+    dapi_norm = x[..., 2].max()
+    fish_norm = x[..., :2].max(axis=(0, 1))
+    norm = np.concatenate([fish_norm, [dapi_norm]]).reshape(1, 1, 3)
+    return np.rint((x / norm) * 255) / 255
+
+
+def im2patches_grid(img: np.ndarray, overlap: int = 75, scw: int = 256):
+    """interseg's LOCAL tiling (reference src/interseg.py:27-47): plain
+    non-overlapping grid of 256^2 crops, each resized to 256x256; images
+    smaller than 256 on an axis use the full extent."""
+    h, w = img.shape[:2]
+    patches = []
+    for i in range(0, math.ceil(h / scw)):
+        min_row = i * scw
+        if h < 256:
+            max_row = h
+        else:
+            max_row = min_row + scw
+            if max_row > h:
+                continue
+        for j in range(0, math.ceil(w / scw)):
+            min_col = j * scw
+            if w < 256:
+                max_col = w
+            else:
+                max_col = min_col + scw
+                if max_col > w:
+                    continue
+            patches.append(
+                resize(
+                    img[min_row:max_row, min_col:max_col],
+                    (256, 256),
+                    preserve_range=True,
+                ).astype("uint8")
+            )
+    return patches
+
+
+def load_classifier_models(has_centromeric_probe: bool, model_dir: str = "interseg_models"):
+    """Converted weights if present, seeded random defaults otherwise."""
+    import jax
+
+    from ..models import classifiers
+    from ..models.keras_import import load_npz_pytree
+
+    i_npz = os.path.join(model_dir, "interseg.npz")
+    if os.path.exists(i_npz):
+        i_params = load_npz_pytree(i_npz)
+    else:
+        i_params = classifiers.init_ecseg_i_params(jax.random.PRNGKey(1))
+    c_params = None
+    if has_centromeric_probe:
+        c_npz = os.path.join(model_dir, "ecseg_c.npz")
+        if os.path.exists(c_npz):
+            c_params = load_npz_pytree(c_npz)
+        else:
+            c_params = classifiers.init_ecseg_c_params(jax.random.PRNGKey(2))
+    return i_params, c_params
+
+
+def main(argv=None, config: Optional[Config] = None) -> int:
+    from ..models import classifiers
+
+    if config is None:
+        config = load_config()
+    try:
+        var = config.interseg
+    except Exception as e:
+        print(str(e))
+        return 2
+    inpath = var.inpath
+    fish_color = var.FISH_color.lower()
+    has_centromeric_probe = var.has_centromeric_probe
+
+    if not os.path.isdir(inpath):
+        print("Input folder does not exist. Exiting...")
+        return 2
+    if fish_color not in ("green", "red"):
+        print('FISH_color can only be "green" or "red". Please update the config.yaml file accordingly.')
+        return 2
+
+    fish_index = 1 if fish_color == "green" else 0
+
+    os.makedirs(os.path.join(inpath, "annotated"), exist_ok=True)
+
+    image_paths = imgio.get_imgs(inpath)
+    ecseg_i_params, ecseg_c_params = load_classifier_models(has_centromeric_probe)
+
+    def predict_i(p_img):  # (1,256,256) uint8 target-FISH channel
+        return np.asarray(classifiers.ecseg_i_forward(ecseg_i_params, p_img))
+
+    def predict_c(p_img):  # (1,256,256,3) preprocessed
+        return np.asarray(classifiers.ecseg_c_forward(ecseg_c_params, p_img))
+
+    stat_fish_results = pd.read_csv(
+        os.path.join(inpath, "annotated/stat_fish_lsq.csv"),
+        keep_default_na=False,
+        na_values=["_"],
+    )
+
+    dfs = []
+    path_split = None
+    for i in image_paths:
+        path_split = os.path.split(i)
+        print("Processing image: ", i)
+
+        img_rows = stat_fish_results[
+            stat_fish_results["image_name"] == path_split[1][:-4]
+        ]
+        cent_channel = ["red", "green"][1 - fish_index]
+        quality = (
+            kurtosis(img_rows[f"Avg fish intensity ({cent_channel})"])
+            if len(stat_fish_results)
+            else float("inf")
+        )
+        quality_pass = quality <= 3
+
+        I = imgio.u16_to_u8(imgio.imread_rgb(i))
+        seg_path = os.path.join(
+            path_split[0],
+            "annotated",
+            path_split[1][:-4],
+            f"{path_split[1][:-4]}_segmentation.tif",
+        )
+        segmented_cells = imgio.imread_rgb(seg_path)
+        if segmented_cells.ndim == 3:
+            segmented_cells = segmented_cells[..., 0]
+
+        imheight, imwidth = segmented_cells.shape
+        I = I[:imheight, :imwidth, :]
+        I = np.dstack([I[..., fish_index], I[..., 1 - fish_index], I[..., 2]])
+
+        segmented_cells = cc_label(segmented_cells != 0)
+        regions = regionprops(segmented_cells)
+
+        names, centroids = [], []
+        pred_no_amp, pred_ec, pred_hsr, ecseg_i_label = [], [], [], []
+        pred_no_focal, pred_focal, ecseg_c_label, interseg_label = [], [], [], []
+
+        def no_pred(reason):
+            interseg_label.append(reason)
+            ecseg_i_label.append(reason)
+            pred_no_amp.append(reason)
+            pred_ec.append(reason)
+            pred_hsr.append(reason)
+            if has_centromeric_probe:
+                ecseg_c_label.append(reason)
+                pred_no_focal.append(reason)
+                pred_focal.append(reason)
+
+        def classify_patch(p):
+            """p: (1, 256, 256, 3) uint8.  Appends one row of predictions."""
+            pred = predict_i(p[..., 0])
+            a, b, c = pred[0]
+            pred_no_amp.append(a)
+            pred_ec.append(b)
+            pred_hsr.append(c)
+            label_i = ECSEG_I_LABEL_MAP[int(np.argmax(pred[0]))]
+            ecseg_i_label.append(label_i)
+
+            if has_centromeric_probe and p[..., 1].max() > 10 and quality_pass:
+                pc = np.expand_dims(preprocess_ecseg_c(p[0]), 0)
+                pred_c = predict_c(pc)
+                pred_no_focal.append(1 - pred_c[0, 0])
+                pred_focal.append(pred_c[0, 0])
+                label_c = ECSEG_C_LABEL_MAP[int(pred_c[0, 0] > 0.5)]
+                ecseg_c_label.append(label_c)
+                interseg_label.append(INTERSEG_LABEL_MAP[(label_c, label_i)])
+            else:
+                if has_centromeric_probe and not quality_pass:
+                    reason = "No_Prediction (Failed Centromeric Quality Score)"
+                    ecseg_c_label.append(reason)
+                    pred_no_focal.append(reason)
+                    pred_focal.append(reason)
+                elif has_centromeric_probe and p[..., 1].max() <= 10:
+                    reason = "No_Prediction (Low_CENT_Brightness)"
+                    ecseg_c_label.append(reason)
+                    pred_no_focal.append(reason)
+                    pred_focal.append(reason)
+                interseg_label.append(label_i)
+
+        for region in regions:
+            center = region.centroid
+            mask = segmented_cells == region.label
+            temp = I * np.expand_dims(mask, -1)
+
+            if np.sum(temp[..., 0]) / np.sum(mask) < 12.75:
+                no_pred("No_Prediction (Low_TRGT_brightness)")
+                centroids.append(f"{int(center[0])}_{int(center[1])}")
+                names.append(path_split[-1][:-4])
+                continue
+
+            bb = region.bbox
+            h = bb[2] - bb[0]
+            w = bb[3] - bb[1]
+            if h <= 256 and w <= 256:
+                nuclei = temp[
+                    bb[0] : bb[0] + min(256, h), bb[1] : bb[1] + min(256, w)
+                ]
+                p = np.expand_dims(
+                    resize(nuclei, (256, 256), preserve_range=True), 0
+                ).astype("uint8")
+                classify_patch(p)
+                centroids.append(f"{int(center[0])}_{int(center[1])}")
+                names.append(path_split[-1][:-4])
+            else:
+                nuclei = temp[bb[0] : bb[0] + h, bb[1] : bb[1] + w]
+                for p in im2patches_grid(nuclei):
+                    names.append(path_split[-1][:-4])
+                    centroids.append(f"{int(center[0])}_{int(center[1])}")
+                    if not p.any():
+                        no_pred("No_Prediction (Segmentation_Empty)")
+                        # no_pred appended to the label lists only; centroids
+                        # and names were appended above, matching reference
+                        continue
+                    classify_patch(np.expand_dims(p, 0))
+
+        df = pd.DataFrame()
+        df["image_name"] = np.array(names)
+        df["nucleus_center"] = np.array(centroids)
+        df["interSeg_label"] = interseg_label
+        if has_centromeric_probe:
+            df["ecSeg-c_label"] = ecseg_c_label
+        df["ecSeg-i_label"] = ecseg_i_label
+        dfs.append(df)
+
+    if dfs and path_split is not None:
+        out = pd.concat(dfs)
+        out.to_csv(
+            os.path.join(path_split[0], f"interphase_prediction_{fish_color}.csv"),
+            index=False,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -38,23 +38,29 @@ from ..ops.meta_post import meta_inference, meta_preprocess
 MODEL_NAME = "metaseg.h5"
 
 
-@functools.partial(jax.jit, static_argnames=("positions", "dtype"))
-def _segment_patches_jit(params, patches_u8, positions, dtype=jnp.float32):
+def _default_forward(params, patches_u8, dtype):
+    return metaseg_unet.forward(params, patches_u8, dtype=dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("forward_fn", "positions", "dtype")
+)
+def _segment_patches_jit(
+    params, patches_u8, forward_fn, positions, dtype=jnp.float32
+):
     """Patches (N,256,256,1) uint8 -> stitched argmax label map (H, W) int32,
-    entirely on device."""
-    probs = metaseg_unet.forward(params, patches_u8, dtype=dtype)
-    canvas = tiling.stitch_patches_jax(probs, positions)
-    # reference converts the stitched float map to uint8 BEFORE the argmax
-    # (src/utils.py:117-118); rounding can change ties, so replicate it.
-    canvas_u8 = jnp.clip(jnp.round(canvas * 255.0), 0, 255).astype(jnp.uint8)
-    return jnp.argmax(canvas_u8, axis=2).astype(jnp.int32)
+    entirely on device.  The uint8 quantization happens before the argmax
+    exactly as the reference does (src/utils.py:117-118); per-patch argmax
+    then label stitching is bit-identical to stitching the float canvas
+    first (the stitcher only copies) but 4x cheaper on HBM."""
+    probs = forward_fn(params, patches_u8, dtype)
+    return tiling.stitch_argmax_jax(probs, positions)
 
 
-def meta_segment(
-    params: Dict, image_path: str, *, dtype=jnp.float32, save_dapi: bool = True
-) -> np.ndarray:
-    """Device forward + host meta_inference for one image
-    (reference src/utils.py:109-120)."""
+def _prepare_image(image_path: str, save_dapi: bool = True):
+    """Host stage: decode -> meta_preprocess -> save inverted DAPI ->
+    patchify.  Runs on reader threads (runtime.batching.prefetch_map) so TIFF
+    decode overlaps device compute."""
     I = imgio.imread_rgb(image_path)
     I = meta_preprocess(I)
     if save_dapi:
@@ -63,25 +69,61 @@ def meta_segment(
             os.path.join(path_split[0], "dapi", path_split[1]), I
         )
     _, patches, pos = tiling.im2patches_overlap(I[..., None])
+    return patches, tuple(map(tuple, pos))
+
+
+def meta_segment(
+    model, image_path: str, *, dtype=jnp.float32, save_dapi: bool = True
+) -> np.ndarray:
+    """Device forward + host meta_inference for one image
+    (reference src/utils.py:109-120).  ``model`` is (params, forward_fn) from
+    :func:`load_model` or a bare params dict for the default architecture."""
+    if isinstance(model, tuple):
+        params, forward_fn = model
+    else:
+        params, forward_fn = model, _default_forward
+    patches, pos = _prepare_image(image_path, save_dapi)
     labels = _segment_patches_jit(
-        params, jnp.asarray(patches), tuple(map(tuple, pos)), dtype
+        params, jnp.asarray(patches), forward_fn, pos, dtype
     )
     labels = np.asarray(labels).astype(np.int64)
     return meta_inference(labels)
 
 
-def load_params(model_dir: str = "models", key: Optional[jax.Array] = None) -> Dict:
-    """Load converted metaseg weights (<model_dir>/metaseg.npz produced by
-    scripts/convert_keras_h5.py) or fall back to the documented default
-    architecture with seeded random init."""
+def load_model(model_dir: str = "models", key: Optional[jax.Array] = None):
+    """Resolve the metaseg model, in priority order:
+
+    1. ``<model_dir>/metaseg.h5``  -- the reference's Keras blob, executed
+       directly through the keras_import graph reconstructor (no TF needed);
+    2. ``<model_dir>/metaseg.npz`` -- converted default-architecture weights;
+    3. seeded random default architecture (development).
+
+    Returns (params, forward_fn) for :func:`meta_segment`.
+    """
+    h5_path = os.path.join(model_dir, "metaseg.h5")
+    if os.path.exists(h5_path):
+        from ..models.keras_import import import_keras_h5
+
+        km = import_keras_h5(h5_path)
+
+        def keras_forward(params, patches_u8, dtype, _fwd=km._forward):
+            return _fwd(params, patches_u8.astype(jnp.float32))
+
+        return km.params, keras_forward
+
     npz_path = os.path.join(model_dir, "metaseg.npz")
     if os.path.exists(npz_path):
         from ..models.keras_import import load_npz_pytree
 
-        return load_npz_pytree(npz_path)
+        return load_npz_pytree(npz_path), _default_forward
     if key is None:
         key = jax.random.PRNGKey(0)
-    return metaseg_unet.init_params(key)
+    return metaseg_unet.init_params(key), _default_forward
+
+
+# back-compat alias
+def load_params(model_dir: str = "models", key: Optional[jax.Array] = None):
+    return load_model(model_dir, key)
 
 
 def main(argv=None, config: Optional[Config] = None) -> int:
@@ -97,15 +139,25 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     os.makedirs(os.path.join(inpath, "dapi"), exist_ok=True)
     os.makedirs(os.path.join(inpath, "labels"), exist_ok=True)
 
-    params = load_params()
+    model = load_model()
     image_paths = imgio.get_imgs(inpath)
+
+    if isinstance(model, tuple):
+        params, forward_fn = model
+    else:
+        params, forward_fn = model, _default_forward
+
+    from ..runtime.batching import prefetch_map
 
     rows = []
     path_split = None
     print("Reading from: ", inpath)
-    for i in image_paths:
+    for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):
         print("Processing image: ", i)
-        I = meta_segment(params, i)
+        labels = _segment_patches_jit(
+            params, jnp.asarray(patches), forward_fn, pos, jnp.float32
+        )
+        I = meta_inference(np.asarray(labels).astype(np.int64))
         num_ecDNA = count_cc(I == 3)[0]
         path_split = os.path.split(i)
         outpath = os.path.join(path_split[0], "labels", path_split[1][:-4])

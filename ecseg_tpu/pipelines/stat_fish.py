@@ -1,0 +1,294 @@
+"""stat_fish: per-nucleus FISH quantification in interphase images.
+
+Parity target: reference src/stat_fish.py:144-317.  Per image: NuSeT nuclei
+segmentation -> optional min-cut instance splitting -> LSQ matched-filter
+FISH foci detection -> per-nucleus statistics -> ``stat_fish_lsq.csv`` + five
+annotated images + a ``.npy`` instance map, written into a
+``tmp_<MM-DD_HH:MM:SS>`` folder that is atomically renamed to ``annotated/``
+(any previous ``annotated`` is archived with a timestamp suffix).  The
+config + params files are copied into the output for provenance, the config
+named with the current git commit.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import subprocess as sp
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..core import imgio
+from ..core.config import Config, load_config, load_stat_fish_params
+from ..models import nuset_infer
+from ..ops import matched_filter as mf
+from ..ops import maxflow
+from ..ops.cc import label as cc_label, regionprops
+from ..ops.meta_post import intensity_metrics
+
+AQUA_RGB = [233, 137, 54]  # reference stat_fish.py:163
+
+
+def load_nuset_model(model_dir: str = "models", **kw) -> nuset_infer.NuSeTModel:
+    """Load converted NuSeT weights (<model_dir>/nuset.npz produced by
+    scripts/convert_tf1_ckpt.py) or fall back to seeded random init."""
+    import jax
+
+    npz = os.path.join(model_dir, "nuset.npz")
+    if os.path.exists(npz):
+        from ..models.keras_import import load_npz_pytree
+
+        tree = load_npz_pytree(npz)
+        return nuset_infer.NuSeTModel(
+            unet_whole=tree["whole"],
+            unet_fg=tree["fg"]["unet"],
+            rpn_fg=tree["fg"]["rpn"],
+            **kw,
+        )
+    return nuset_infer.init_nuset_model(jax.random.PRNGKey(0), **kw)
+
+
+def main(argv=None, config: Optional[Config] = None, params=None) -> int:
+    if config is None:
+        config = load_config()
+    if params is None:
+        params = load_stat_fish_params()
+    var = config.stat_fish
+    inpath = var.inpath
+
+    normal_threshold = params.normal_threshold
+    color_sensitivity = list(params.color_sensitivity)
+    scaling_factor = var.scale
+    target_median_nuclei_size = params.target_median_nuclei_size
+    kernel_shape = list(params.kernel_size)
+    gaussian_sigma = params.gaussian_sigma
+    line_thickness = params.line_thickness
+    bbox_min_score = params.min_score
+    nms_thresh = params.nms_threshold
+    resize_scale = params.scale_ratio
+    nuclei_size_t = var.nuclei_size_T
+    flow_limit = params.flow_limit
+    cell_size_threshold_coeff = params.cell_size_threshold_coeff
+
+    if not os.path.isdir(inpath):
+        print("Input folder does not exist. Exiting...")
+        return 2
+
+    output_folder = f"tmp_{datetime.datetime.now().strftime('%m-%d_%H:%M:%S')}"
+    os.makedirs(os.path.join(inpath, output_folder), exist_ok=True)
+
+    git_commit = (
+        sp.run("git log -1 | head -1", shell=True, capture_output=True)
+        .stdout.decode()
+        .strip()
+        .split(" ")[-1]
+    )
+    if config.path and os.path.exists(config.path):
+        shutil.copyfile(
+            config.path,
+            os.path.join(inpath, output_folder, f"config_{git_commit}.yaml"),
+        )
+    params_src = os.path.join(os.path.dirname(__file__), "..", "stat_fish_params.yaml")
+    if os.path.exists(params_src):
+        shutil.copyfile(
+            params_src, os.path.join(inpath, output_folder, "stat_fish_params.yaml")
+        )
+
+    model = load_nuset_model(
+        bbox_min_score=bbox_min_score,
+        nms_threshold=nms_thresh,
+        resize_scale=resize_scale,
+    )
+
+    image_paths = imgio.get_imgs(inpath)
+    first_fish, second_fish, third_fish = "green", "red", "aqua"
+
+    dfs = []
+    path_split = None
+    for i in image_paths:
+        path_split = os.path.split(i)
+        print("Processing image: ", i)
+        img_name = os.path.basename(i)[:-4]
+        annotated_path = os.path.join(inpath, output_folder, img_name)
+        os.makedirs(annotated_path, exist_ok=True)
+
+        if i.endswith(".tif"):
+            I = imgio.u16_to_u8(imgio.imread_bgr8(i))
+        elif i.endswith(".npy"):
+            I = imgio.u16_to_u8(np.load(i))
+        else:
+            raise AssertionError
+        blue = I[:, :, 0]
+
+        segmented_cells = nuset_infer.nuclei_segment(blue, model, nuclei_size_t)
+
+        imheight, imwidth = segmented_cells.shape
+        I = I[:imheight, :imwidth, :]
+        segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
+
+        if var.use_min_cut:
+            labeled_segmented_cells, min_cut_vis = maxflow.binary_seg_to_instance_min_cut(
+                segmented_cells, flow_limit, cell_size_threshold_coeff
+            )
+        else:
+            labeled_segmented_cells = cc_label(segmented_cells != 0)
+            min_cut_vis = None
+
+        regions = regionprops(labeled_segmented_cells)
+
+        # NOTE: like the reference (stat_fish.py:228), 'auto' resolves on the
+        # FIRST image and the resulting numeric scale is reused for the rest
+        # of the batch.
+        scaling_factor = (
+            scaling_factor
+            if scaling_factor != "auto"
+            else mf.get_scale(labeled_segmented_cells, target_median_nuclei_size)
+        )
+        sf = scaling_factor
+
+        segmented_cells_copy = segmented_cells.copy()
+        num_channels = I.shape[-1]
+        if not np.isnan(sf):
+            gaussian_stdev = gaussian_sigma / sf
+            min_cc_size = int(params.min_cc_size // (sf * sf))
+            gaussian_kernel_shape = [
+                int(dim // sf) if (dim // sf % 2) else int(dim // sf) + 1
+                for dim in kernel_shape
+            ]
+            thresholded = mf.get_thresholded(
+                I,
+                segmented_cells,
+                gaussian_stdev,
+                normal_threshold,
+                color_sensitivity,
+                gaussian_kernel_shape,
+            )
+        else:
+            thresholded = np.zeros_like(I)[..., 1:]
+            gaussian_stdev = min_cc_size = np.nan
+
+        names, cell_sizes, centroids = [], [], []
+        green_red_pixels, green_red_blobs = [], []
+        fish_sizes, fish_blobs, avg_fish, max_fish = [
+            [[] for _ in range(num_channels - 1)] for _ in range(4)
+        ]
+
+        for region in regions:
+            raw_cell, thresh_cell, cell_seg, _ = mf.cell_splice_segmentation(
+                I, thresholded, labeled_segmented_cells, region
+            )
+            fish = [thresh_cell[..., c] for c in range(num_channels - 1)]
+            raw_fish = [
+                raw_cell[..., c].astype(np.int64) * cell_seg
+                for c in range(1, num_channels)
+            ]
+            for (
+                raw_fish_ch,
+                avg_fish_ch,
+                max_fish_ch,
+                fish_sizes_ch,
+                fish_blobs_ch,
+                fish_splice,
+                _cs,
+            ) in zip(
+                raw_fish, avg_fish, max_fish, fish_sizes, fish_blobs, fish,
+                color_sensitivity,
+            ):
+                blob_count = mf.count_blobs(fish_splice, cell_seg, min_cc_size)
+                fish_blobs_ch.append(blob_count)
+                fish_pixels = (fish_splice * cell_seg).sum() / 255
+                assert fish_pixels == int(fish_pixels)
+                fish_sizes_ch.append(int(fish_pixels))
+                avg_i, max_i = intensity_metrics(raw_fish_ch)
+                avg_fish_ch.append(avg_i if not np.isnan(avg_i) else 0)
+                max_fish_ch.append(max_i)
+
+            cell_sizes.append(region.area)
+            center = region.centroid
+            centroids.append(f"{int(center[0])}_{int(center[1])}")
+            names.append(path_split[-1][:-4])
+
+            green_red_splice = (fish[0]) * (fish[1] / 255)
+            blob_count = mf.count_blobs(green_red_splice, cell_seg, min_cc_size)
+            fish_pixels = (green_red_splice * cell_seg).sum() / 255
+            assert fish_pixels == int(fish_pixels)
+            green_red_pixels.append(int(fish_pixels))
+            green_red_blobs.append(blob_count)
+
+        df = pd.DataFrame()
+        df["image_name"] = np.array(names)
+        df["nucleus_center"] = np.array(centroids)
+        for ch_name, fs, fb, af, mx in zip(
+            (first_fish, second_fish, third_fish),
+            fish_sizes, fish_blobs, avg_fish, max_fish,
+        ):
+            df[f"#_FISH_pixels ({ch_name})"] = np.array(fs)
+            df[f"#_FISH_foci ({ch_name})"] = np.array(fb)
+            df[f"Avg fish intensity ({ch_name})"] = np.array(af)
+            df[f"Max fish intensity ({ch_name})"] = np.array(mx)
+        df["#_DAPI_pixels"] = np.array(cell_sizes)
+        df["#_FISH_pixels (green and red)"] = np.array(green_red_pixels)
+        df["#_FISH_foci (green and red)"] = np.array(green_red_blobs)
+        dfs.append(df)
+
+        thresholds_abbr = "_".join(
+            f"{letter}{format(x, '.1f')}"
+            for letter, x in zip(["g", "r", "aq"], color_sensitivity)
+        )
+        lsq_path = (
+            f"{annotated_path}/{img_name}_lsq_n{normal_threshold}"
+            f"_std{format(gaussian_stdev, '.2f')}_s{min_cc_size}_{thresholds_abbr}.tif"
+        )
+        boundaries = mf.get_boundaries(
+            labeled_segmented_cells, line_thickness=line_thickness
+        )
+
+        I = mf.merge_channels(I, AQUA_RGB).astype(np.uint8)
+        img_with_seg = np.minimum(I + boundaries, 255).astype(np.uint8)
+        thresholded_u8 = thresholded.astype(np.uint8)
+        blob_labeled = np.dstack([boundaries[:, :, 0], thresholded_u8])
+        if blob_labeled.shape[-1] > 3:
+            blob_labeled = mf.merge_channels(blob_labeled, AQUA_RGB)
+        blob_labeled = blob_labeled.astype(np.uint8)
+
+        np.save(
+            f"{annotated_path}/{img_name}__segmentation_min_cut.npy",
+            labeled_segmented_cells,
+        )
+        assert imgio.imwrite(
+            f"{annotated_path}/{img_name}_segmentation.tif", segmented_cells_copy
+        )
+        if var.use_min_cut:
+            assert imgio.imwrite(
+                f"{annotated_path}/{img_name}_segmentation_corrected_min_cut.tif",
+                min_cut_vis,
+            )
+        assert imgio.imwrite(
+            f"{annotated_path}/{img_name}_original_with_segmentation.tif",
+            img_with_seg,
+        )
+        assert imgio.imwrite(f"{annotated_path}/{img_name}_original.tif", I)
+        assert imgio.imwrite(lsq_path, blob_labeled)
+
+    if dfs:
+        out = pd.concat(dfs)
+        out.to_csv(
+            os.path.join(path_split[0], output_folder, "stat_fish_lsq.csv"),
+            index=False,
+        )
+
+    if os.path.isdir(f"{inpath}/annotated"):
+        os.rename(
+            f"{inpath}/annotated",
+            f"{inpath}/annotated_{str(datetime.datetime.now())[5:-10].replace(' ', '-')}",
+        )
+    os.rename(f"{inpath}/{output_folder}", f"{inpath}/annotated")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,78 @@
+"""Training support for the metaseg U-Net.
+
+The reference ships inference only (weights downloaded from Mendeley,
+README.md:47-49); this framework additionally supports (re)training /
+fine-tuning the segmentation U-Net on TPU meshes, which is how new metaseg
+checkpoints are produced without Keras.
+
+The train step is a single pjit-compiled function: batch sharded over the
+mesh 'data' axis, wide conv kernels optionally sharded over 'model'
+(tensor parallelism); GSPMD derives the gradient all-reduce / weight
+all-gather collectives from the shardings, riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import metaseg_unet
+from ..parallel.mesh import param_shardings, shard_patch_batch
+
+
+def softmax_xent_loss(params: Dict, batch_x, batch_y, dtype=jnp.float32):
+    """Mean pixel cross-entropy. batch_x (N,H,W,C) uint8, batch_y (N,H,W) int."""
+    probs = metaseg_unet.forward(params, batch_x, dtype=dtype)
+    logp = jnp.log(jnp.maximum(probs, 1e-12))
+    onehot = jax.nn.one_hot(batch_y, probs.shape[-1], dtype=logp.dtype)
+    return -jnp.mean(jnp.sum(onehot * logp, axis=-1))
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation, dtype=jnp.float32
+):
+    def train_step(params, opt_state, batch_x, batch_y):
+        loss, grads = jax.value_and_grad(softmax_xent_loss)(
+            params, batch_x, batch_y, dtype
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def jit_train_step_on_mesh(
+    mesh,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    params_example: Optional[Dict] = None,
+    dtype=jnp.float32,
+):
+    """Compile the full training step over a mesh with real dp/tp shardings.
+
+    Returns (jitted_step, param_sharding_tree, batch_sharding).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(1e-4)
+    from ..parallel.mesh import leaf_sharding_rule
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    p_shard = param_shardings(params_example, mesh)
+    b_shard = shard_patch_batch(mesh)
+    repl = NamedSharding(mesh, P())
+    y_shard = NamedSharding(mesh, P("data", None, None))
+    opt_state_example = optimizer.init(params_example)
+    # Adam moments mirror param shapes; the same leaf rule shards them.
+    o_shard = jax.tree.map(leaf_sharding_rule(mesh), opt_state_example)
+
+    step = make_train_step(optimizer, dtype=dtype)
+    jitted = jax.jit(
+        step,
+        in_shardings=(p_shard, o_shard, b_shard, y_shard),
+        out_shardings=(p_shard, o_shard, repl),
+    )
+    return jitted, p_shard, b_shard, optimizer

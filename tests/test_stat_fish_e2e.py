@@ -1,0 +1,200 @@
+"""End-to-end stat_fish -> interseg -> fish_distance on a synthetic image.
+
+NuSeT weights are crafted so the level-1 skip path passes brightness through
+(the deep path still runs with random weights): the predicted mask is
+"above-mean brightness", giving a deterministic segmentation without trained
+checkpoints.
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ecseg_tpu.core.config import Config
+from ecseg_tpu.core.config import StatFishParams
+from ecseg_tpu.models import nuset, nuset_infer
+
+
+def _passthrough_nuset_params(key, thresh):
+    """Level-1 skip passthrough: class-1 logit = 5 * relu(v - thresh) where v
+    is the normalized input brightness.  ``thresh`` is picked per pass:
+    whole-image norm separates at ~0.5; foreground norm maps nuclei to ~0 and
+    background hugely negative, so -5 separates there."""
+    p = nuset.init_unet_params(key)
+
+    def pass_k(shape, src, dst, gain=1.0):
+        k = np.zeros(shape, np.float32)
+        k[shape[0] // 2, shape[1] // 2, src, dst] = gain
+        return jnp.asarray(k)
+
+    bias1 = np.zeros(64, np.float32)
+    bias1[0] = -thresh
+    p["conv1-1"]["kernel"] = pass_k((3, 3, 1, 64), 0, 0)
+    p["conv1-1"]["bias"] = jnp.asarray(bias1)
+    p["conv1-2"]["kernel"] = pass_k((3, 3, 64, 64), 0, 0)
+    p["conv1-2"]["bias"] = jnp.zeros(64)
+    # decoder: concat puts the skip first -> channel 0 is the skip's ch 0
+    p["conv1-3"]["kernel"] = pass_k((3, 3, 128, 64), 0, 0)
+    p["conv1-3"]["bias"] = jnp.zeros(64)
+    p["conv1-4"]["kernel"] = pass_k((3, 3, 64, 64), 0, 0)
+    p["conv1-4"]["bias"] = jnp.zeros(64)
+    fk = np.zeros((3, 3, 64, 2), np.float32)
+    fk[1, 1, 0, 1] = 5.0
+    p["final"]["kernel"] = jnp.asarray(fk)
+    return p
+
+
+@pytest.fixture(scope="module")
+def crafted_model():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return nuset_infer.NuSeTModel(
+        unet_whole=_passthrough_nuset_params(k1, thresh=0.5),
+        unet_fg=_passthrough_nuset_params(k2, thresh=-5.0),
+        rpn_fg=nuset.init_rpn_params(k3, nuset_infer.NUM_REF_ANCHORS),
+        nms_threshold=0.01,
+        bbox_min_score=0.95,
+        resize_scale=0.3,
+    )
+
+
+@pytest.fixture(scope="module")
+def synthetic_interphase(tmp_path_factory):
+    d = tmp_path_factory.mktemp("interphase")
+    H = W = 160
+    img = np.zeros((H, W, 3), np.uint8)  # BGR on disk
+    img[..., 0] = 20  # dim DAPI background
+    yy, xx = np.mgrid[:H, :W]
+    c1 = (yy - 50) ** 2 + (xx - 50) ** 2 <= 30**2
+    c2 = (yy - 110) ** 2 + (xx - 110) ** 2 <= 30**2
+    img[..., 0][c1 | c2] = 220  # nuclei in DAPI/blue
+    # FISH foci: green + red inside each nucleus
+    for (y, x) in [(50, 50), (110, 110)]:
+        img[y - 1 : y + 2, x - 1 : x + 2, 1] = 220  # green
+        img[y + 6 : y + 9, x + 6 : x + 9, 2] = 220  # red
+    cv2.imwrite(str(d / "cells.tif"), img)
+    return str(d)
+
+
+def test_nuclei_segment_crafted(crafted_model, synthetic_interphase):
+    img = cv2.imread(os.path.join(synthetic_interphase, "cells.tif"))
+    seg = nuset_infer.nuclei_segment(img[:, :, 0], crafted_model, 500)
+    assert seg.dtype == np.uint8
+    assert set(np.unique(seg)).issubset({0, 255})
+    assert seg[50, 50] == 255 and seg[110, 110] == 255
+    assert seg[10, 150] == 0
+
+
+def test_stat_fish_interseg_fish_distance_e2e(
+    crafted_model, synthetic_interphase, monkeypatch
+):
+    import pandas as pd
+
+    from ecseg_tpu.pipelines import fish_distance, interseg, stat_fish
+
+    inpath = synthetic_interphase
+    cfg = Config(
+        raw={
+            "stat_fish": {
+                "inpath": inpath,
+                "scale": 1,
+                "use_min_cut": True,
+                "nuclei_size_T": 500,
+            },
+            "interseg": {
+                "inpath": inpath,
+                "FISH_color": "red",
+                "has_centromeric_probe": False,
+            },
+            "fish_distance_calculation": {
+                "inpath": inpath,
+                "centromere_probe_color": "green",
+                "fish_probe_color": "red",
+                "max_centromeric_spots": 3,
+            },
+        }
+    )
+    monkeypatch.setattr(
+        stat_fish, "load_nuset_model", lambda **kw: crafted_model
+    )
+    assert stat_fish.main(config=cfg) == 0
+
+    ann = os.path.join(inpath, "annotated")
+    assert os.path.isdir(ann)
+    csv = pd.read_csv(os.path.join(ann, "stat_fish_lsq.csv"))
+    assert len(csv) == 2  # two nuclei
+    expected_cols = [
+        "image_name", "nucleus_center",
+        "#_FISH_pixels (green)", "#_FISH_foci (green)",
+        "Avg fish intensity (green)", "Max fish intensity (green)",
+        "#_FISH_pixels (red)", "#_FISH_foci (red)",
+        "Avg fish intensity (red)", "Max fish intensity (red)",
+        "#_DAPI_pixels",
+        "#_FISH_pixels (green and red)", "#_FISH_foci (green and red)",
+    ]
+    assert list(csv.columns) == expected_cols
+    assert (csv["#_FISH_foci (green)"] >= 1).all()
+    assert (csv["#_FISH_foci (red)"] >= 1).all()
+    assert (csv["#_DAPI_pixels"] > 500).all()
+    img_dir = os.path.join(ann, "cells")
+    for suffix in [
+        "_segmentation.tif",
+        "_segmentation_corrected_min_cut.tif",
+        "_original_with_segmentation.tif",
+        "_original.tif",
+        "__segmentation_min_cut.npy",
+    ]:
+        assert os.path.exists(os.path.join(img_dir, "cells" + suffix)), suffix
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(img_dir, "cells_lsq_*.tif"))
+    # provenance copies
+    assert os.path.exists(os.path.join(ann, "stat_fish_params.yaml"))
+
+    # ---- interseg on the stat_fish outputs
+    assert interseg.main(config=cfg) == 0
+    pred = pd.read_csv(os.path.join(inpath, "interphase_prediction_red.csv"))
+    assert list(pred.columns) == [
+        "image_name", "nucleus_center", "interSeg_label", "ecSeg-i_label",
+    ]
+    assert len(pred) == 2
+    assert set(pred["interSeg_label"]).issubset(
+        {"No-amp", "EC-amp", "HSR-amp", "No_Prediction (Low_TRGT_brightness)"}
+    )
+
+    # ---- fish_distance on the stat_fish outputs
+    assert fish_distance.main(config=cfg) == 0
+    dist = pd.read_csv(os.path.join(inpath, "centromere_distances.csv"))
+    assert list(dist.columns) == ["normalized_distance"]
+    assert len(dist) == 2
+    assert (dist["normalized_distance"] >= 0).all()
+
+
+def test_stat_fish_archives_previous_annotated(
+    crafted_model, synthetic_interphase, monkeypatch
+):
+    from ecseg_tpu.pipelines import stat_fish
+
+    cfg = Config(
+        raw={
+            "stat_fish": {
+                "inpath": synthetic_interphase,
+                "scale": 1,
+                "use_min_cut": False,
+                "nuclei_size_T": 500,
+            }
+        }
+    )
+    monkeypatch.setattr(
+        stat_fish, "load_nuset_model", lambda **kw: crafted_model
+    )
+    assert os.path.isdir(os.path.join(synthetic_interphase, "annotated"))
+    assert stat_fish.main(config=cfg) == 0
+    import glob as _glob
+
+    archived = _glob.glob(os.path.join(synthetic_interphase, "annotated_*"))
+    assert archived, "previous annotated/ must be archived with a timestamp"

@@ -53,6 +53,22 @@ def test_jax_stitcher_matches_host(h, w, rng):
     np.testing.assert_allclose(dev, host.astype(np.float32), rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("h,w", [(512, 700), (256, 256)])
+def test_stitch_argmax_matches_reference_order(h, w, rng):
+    """argmax(u8(stitch(probs))) == stitch_argmax_jax(probs) -- the fused
+    device path must match the reference operation order exactly."""
+    img = rng.random((h, w, 1)).astype(np.float32)
+    _, patches, pos = tiling.im2patches_overlap(img)
+    probs = rng.random((len(pos), 256, 256, 4)).astype(np.float32)
+    host = tiling.patches2im_overlap(probs, pos)
+    host_u8 = tiling.img_as_ubyte_float(host)
+    ref_labels = np.argmax(host_u8, axis=2)
+    fused = np.asarray(
+        tiling.stitch_argmax_jax(probs, tuple(map(tuple, pos)))
+    )
+    np.testing.assert_array_equal(fused, ref_labels)
+
+
 def test_img_as_ubyte_float():
     x = np.array([0.0, 0.5, 1.0, 0.999, 0.001])
     out = tiling.img_as_ubyte_float(x)
