@@ -161,6 +161,8 @@ def import_keras_h5(path: str) -> KerasModel:
             inputs = ["__input__"]
             outputs = None
             for lc in layers_cfg:
+                if lc["class_name"] == "InputLayer":
+                    continue
                 name = lc["config"]["name"]
                 fn = _make_layer_fn(lc, name, h5, params)
                 if fn is None:

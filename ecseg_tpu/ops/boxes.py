@@ -73,6 +73,23 @@ def _width_upright(b):
     return w, h, urx, ury
 
 
+def encode(bboxes, gt_boxes, variances=None):
+    """Anchor-relative box encoding (reference bbox_transform_tf.py:18-38);
+    the inverse of :func:`decode` (up to its -1 quirk), used for training and
+    kept for API completeness."""
+    bboxes = jnp.asarray(bboxes, jnp.float32)
+    gt_boxes = jnp.asarray(gt_boxes, jnp.float32)
+    if variances is None:
+        variances = [1.0, 1.0]
+    bw, bh, bx, by = _width_upright(bboxes)
+    gw, gh, gx, gy = _width_upright(gt_boxes)
+    dx = (gx - bx) / (bw * variances[0])
+    dy = (gy - by) / (bh * variances[0])
+    dw = jnp.log(gw / bw) / variances[1]
+    dh = jnp.log(gh / bh) / variances[1]
+    return jnp.stack([dx, dy, dw, dh], axis=1)
+
+
 def decode(roi, deltas):
     """reference bbox_transform_tf.py:41-66 (incl. the -1 on x2/y2)."""
     roi = jnp.asarray(roi, jnp.float32)
