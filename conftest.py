@@ -1,0 +1,27 @@
+"""Root test configuration: force JAX onto a virtual 8-device CPU platform
+(before any test module can import jax) so the multi-chip sharding paths are
+exercised without TPU hardware.  Runs at rootdir collection time, earlier
+than tests/conftest.py.
+
+Env vars alone are not enough on accelerator boxes whose sitecustomize
+registers a PJRT plugin and sets ``jax_platforms`` via jax.config (the
+config value wins over JAX_PLATFORMS) -- so the config is updated here too,
+before any backend initializes."""
+
+import os
+import re
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = re.sub(
+    r"--xla_force_host_platform_device_count=\d+",
+    "",
+    os.environ.get("XLA_FLAGS", ""),
+)
+os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # pragma: no cover - jax always importable in this env
+    pass

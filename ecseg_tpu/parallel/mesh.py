@@ -35,6 +35,14 @@ def make_mesh(
         n_devices = len(devices)
     if n_devices % model_axis != 0:
         raise ValueError(f"{n_devices} devices not divisible by model axis {model_axis}")
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"make_mesh needs {n_devices} devices but jax.devices() has "
+            f"{len(devices)} on platform {devices[0].platform!r}. For a "
+            "virtual mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n_devices} before "
+            "importing jax."
+        )
     grid = np.array(devices[:n_devices]).reshape(n_devices // model_axis, model_axis)
     return Mesh(grid, ("data", "model"))
 
