@@ -4,19 +4,23 @@ labeling), the driver-provided north-star metric (BASELINE.json).
 Per tile, exactly the metaseg hot path (reference src/utils.py:109-120):
 25 overlapping 256x256 patches -> U-Net forward (bf16 on the MXU) -> device
 stitch -> uint8 argmax -> on-device connected-component count of the ecDNA
-class.  Tiles are processed in device-filling batches; nothing returns to the
-host inside the loop except the final per-batch counts.
+class (Pallas kernel, ecseg_tpu/ops/cc_pallas.py).
 
-Timing note: on the axon TPU backend ``block_until_ready`` does not actually
-block, so every timed call is synced by materializing its (tiny) output to
-the host.
+Harness design: this TPU is driven through a relay with a fixed ~35 ms
+round-trip per dispatched call, so the workload is ONE jitted program that
+``lax.scan``s over NCHUNKS device-resident chunks of BATCH_TILES tiles and
+returns every per-tile ecDNA count.  Materializing the counts synchronizes
+the whole computation; the per-call latency is amortized over
+NCHUNKS * BATCH_TILES tiles (<3% of the measurement).
 
 Baseline: the north star is >= 1024 tiles/sec on a v5e-8, i.e. 128
 tiles/sec/chip; vs_baseline = measured per-chip rate / 128.
 
 ``--arch xl`` benches the full-width classic U-Net (130 GFLOP/patch) instead
 of the default half-width flagship (33 GFLOP/patch); the importer dictates
-the real production architecture from metaseg.h5 either way.
+the real production architecture from metaseg.h5 either way.  The xl number
+is reported on stderr when requested; the driver-parsed stdout JSON line is
+always the default flagship architecture.
 """
 
 import json
@@ -25,9 +29,9 @@ import time
 
 import numpy as np
 
-BATCH_TILES = 8  # tiles per device batch
-WARMUP = 2
-ITERS = 6
+BATCH_TILES = 32  # tiles per scanned chunk (25 patches each -> 800-patch convs)
+NCHUNKS = 6  # chunks per dispatched call
+REPS = 3  # timed calls
 TARGET_PER_CHIP = 128.0  # north-star: 1024 tiles/s on 8 chips
 
 
@@ -60,14 +64,23 @@ def _realistic_params(key, widths, bottleneck):
     return jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
 
+def _sizes(arch: str):
+    """(batch_tiles, nchunks): xl has 4x the FLOPs and 2x the activation
+    footprint per patch, so it runs smaller device batches."""
+    if arch == "xl":
+        return 8, 4
+    return BATCH_TILES, NCHUNKS
+
+
 def build(arch: str = "default"):
     import jax
     import jax.numpy as jnp
 
     from ecseg_tpu.models import metaseg_unet
     from ecseg_tpu.ops import tiling
-    from ecseg_tpu.ops.cc_tpu import count_cc_tpu
+    from ecseg_tpu.ops.cc_pallas import count_cc_pallas
 
+    batch_tiles, nchunks = _sizes(arch)
     h = w = 1024
     positions = tuple(map(tuple, tiling.patch_positions(h, w)))
 
@@ -77,60 +90,71 @@ def build(arch: str = "default"):
         widths, bott = metaseg_unet.ENC_WIDTHS, metaseg_unet.BOTTLENECK
     params = _realistic_params(jax.random.PRNGKey(0), widths, bott)
 
-    def tile_fn(params, patches):  # (n_patches, 256, 256, 1) uint8 -> ec count
+    def tile_fn(params, patches):  # (25, 256, 256, 1) uint8 -> ec count
         probs = metaseg_unet.forward(params, patches, dtype=jnp.bfloat16)
         labels = tiling.stitch_argmax_jax(probs, positions)
-        num_ec, _ = count_cc_tpu(labels == 3, connectivity=2)
+        num_ec, _ = count_cc_pallas(labels == 3, connectivity=2)
         return num_ec
 
     @jax.jit
-    def batch_fn(params, batch):  # params traced (no constant folding / DCE)
-        return jax.vmap(lambda t: tile_fn(params, t))(batch)
+    def run(params, chunks):  # (NCHUNKS, BATCH, 25, 256, 256, 1) -> counts
+        def step(carry, chunk):
+            counts = jax.vmap(lambda t: tile_fn(params, t))(chunk)
+            return carry, counts
+
+        _, out = jax.lax.scan(step, 0, chunks)
+        return out  # (NCHUNKS, BATCH)
 
     rng = np.random.default_rng(0)
+    total = nchunks * batch_tiles
     # dark background + bright ecDNA-like blobs (the class the pipeline counts)
-    tiles = (rng.random((BATCH_TILES, h, w)) * 80).astype(np.uint8)
-    for b in range(BATCH_TILES):
+    tiles = (rng.random((total, h, w)) * 80).astype(np.uint8)
+    for b in range(total):
         for _ in range(120):
             y, x = rng.integers(0, h - 12), rng.integers(0, w - 12)
             r = rng.integers(2, 7)
             tiles[b, y : y + r, x : x + r] = 230
 
-    batch = np.stack(
+    chunks = np.stack(
         [tiling.im2patches_overlap(t[..., None])[1] for t in tiles]
-    )  # (B, 25, 256, 256, 1)
-    return batch_fn, params, jnp.asarray(batch)
+    ).reshape(nchunks, batch_tiles, -1, 256, 256, 1)
+    return run, params, jnp.asarray(chunks)
+
+
+def measure(arch: str):
+    batch_tiles, nchunks = _sizes(arch)
+    run, params, chunks = build(arch)
+    counts = np.asarray(run(params, chunks))  # compile + sync
+    assert int(counts[0, 0]) > 10, "mask degenerated; bench invalid"
+    np.asarray(run(params, chunks))  # warmup
+
+    total = nchunks * batch_tiles
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        np.asarray(run(params, chunks))  # host sync every call
+    dt = time.perf_counter() - t0
+    return total * REPS / dt
 
 
 def main():
     arch = "xl" if "--arch" in sys.argv and "xl" in sys.argv else "default"
-    batch_fn, params, batch = build(arch)
-
-    counts = np.asarray(batch_fn(params, batch))  # compile + sync
-    assert int(counts[0]) > 10, "mask degenerated; bench invalid"
-    for _ in range(WARMUP - 1):
-        np.asarray(batch_fn(params, batch))
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = np.asarray(batch_fn(params, batch))  # host sync every call
-    dt = time.perf_counter() - t0
+    tiles_per_sec = measure(arch)
 
     import jax
 
-    tiles_per_sec = BATCH_TILES * ITERS / dt
     n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1)
     per_chip = tiles_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "1024x1024 DAPI tiles/sec/chip (U-Net seg + CC labeling)",
-                "value": round(per_chip, 2),
-                "unit": "tiles/s/chip",
-                "vs_baseline": round(per_chip / TARGET_PER_CHIP, 4),
-            }
-        )
-    )
+    result = {
+        "metric": "1024x1024 DAPI tiles/sec/chip (U-Net seg + CC labeling)",
+        "value": round(per_chip, 2),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(per_chip / TARGET_PER_CHIP, 4),
+    }
+    if arch == "xl":
+        result["metric"] += " [arch=xl]"
+        print(json.dumps(result), file=sys.stderr)
+    else:
+        print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,76 @@
+"""Pallas connected-component kernel vs scipy and vs the XLA labeler.
+
+Runs in Pallas interpret mode on the CPU test platform; the identical kernel
+code path compiles with Mosaic on TPU.
+"""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+import jax.numpy as jnp
+
+from ecseg_tpu.ops.cc_pallas import count_cc_pallas, label_pallas
+from ecseg_tpu.ops.cc_tpu import label_tpu
+
+
+def _ref_count(m, conn):
+    s = ndimage.generate_binary_structure(2, conn)
+    return ndimage.label(m, structure=s)[1]
+
+
+@pytest.mark.parametrize("conn", [1, 2])
+@pytest.mark.parametrize("density", [0.15, 0.5, 0.85])
+def test_count_matches_scipy_random(rng, conn, density):
+    m = rng.random((96, 160)) < density
+    n, px = count_cc_pallas(jnp.asarray(m), connectivity=conn)
+    assert int(n) == _ref_count(m, conn)
+    assert int(px) == int(m.sum())
+
+
+@pytest.mark.parametrize("conn", [1, 2])
+def test_count_blobs_and_edges(rng, conn):
+    m = np.zeros((128, 200), bool)
+    for _ in range(30):
+        y, x = rng.integers(0, 120), rng.integers(0, 192)
+        r = int(rng.integers(2, 7))
+        m[y : y + r, x : x + r] = True
+    # components touching every border
+    m[0, :10] = True
+    m[-1, -10:] = True
+    m[:10, 0] = True
+    m[-10:, -1] = True
+    n, px = count_cc_pallas(jnp.asarray(m), connectivity=conn)
+    assert int(n) == _ref_count(m, conn)
+    assert int(px) == int(m.sum())
+
+
+def test_count_degenerate():
+    empty = jnp.zeros((64, 128), bool)
+    n, px = count_cc_pallas(empty)
+    assert (int(n), int(px)) == (0, 0)
+    full = jnp.ones((64, 128), bool)
+    n, px = count_cc_pallas(full)
+    assert (int(n), int(px)) == (1, 64 * 128)
+
+
+@pytest.mark.parametrize("conn", [1, 2])
+def test_labels_match_xla_labeler(rng, conn):
+    m = rng.random((72, 136)) < 0.4
+    lp = np.asarray(label_pallas(jnp.asarray(m), connectivity=conn))
+    lx = np.asarray(label_tpu(jnp.asarray(m), connectivity=conn))
+    np.testing.assert_array_equal(lp, lx)
+
+
+def test_snake_mask_exercises_scan_phase():
+    # a serpentine one-pixel path: geodesic diameter >> phase-A sweep budget
+    m = np.zeros((64, 64), bool)
+    for r in range(0, 64, 4):
+        m[r, :] = True
+        if (r // 4) % 2 == 0 and r + 4 < 64:
+            m[r : r + 5, -1] = True
+        elif r + 4 < 64:
+            m[r : r + 5, 0] = True
+    n, px = count_cc_pallas(jnp.asarray(m), connectivity=1)
+    assert int(n) == _ref_count(m, 1) == 1
+    assert int(px) == int(m.sum())
