@@ -13,7 +13,12 @@ The runtime then consumes the H5 through
 ecseg_tpu.models.keras_import.import_keras_h5 (no TF).
 """
 
+import os
 import sys
+
+# The reference SavedModels were written by TF-2.8-era (legacy) Keras; load
+# them with the legacy implementation, not Keras 3.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 
 
 def convert(savedmodel_dir: str, out_h5: str) -> None:

@@ -1,6 +1,8 @@
-"""keras_import is exercised against a hand-built Keras-format H5 file (TF is
-not in the environment, so the file is synthesized with h5py in the exact
-layout Keras writes: model_config attr + model_weights/<layer>/<layer>/...)."""
+"""keras_import unit tests against hand-built Keras-format H5 files
+(synthesized with h5py in the exact layout Keras writes: model_config attr +
+model_weights/<layer>/<layer>/...), so the importer's layer handling is
+pinned without a TF dependency.  Golden parity against *real* tf.keras saves
+lives in tests/test_tf_golden.py."""
 
 import json
 

@@ -1,0 +1,251 @@
+"""Golden parity against the reference's actual TF stack.
+
+TensorFlow 2.21 (with tf_keras legacy mode for the TF1-compat layers the
+reference uses) is installed in this environment, so every TF-dependent
+reference op is cross-checked here against its JAX twin:
+
+  * conv2d_same_tf / conv2d_valid_tf vs tf.nn.conv2d (odd AND even kernels)
+    -- the eager conv the reference evaluates through throwaway v1 sessions
+    (reference src/stat_fish.py:77, src/max_flow_binary_mask.py:163-191);
+  * nms_numpy / nms_jax vs tf.image.non_max_suppression
+    (reference src/model_layers/rpn_proposal.py:142-147);
+  * a real tf.keras U-Net saved to legacy H5 -> import_keras_h5 -> predict
+    parity (the reference's metaseg.h5 load path, src/utils.py:27-33);
+  * a real tf.keras classifier saved as a SavedModel ->
+    scripts/convert_savedmodel.py -> import_keras_h5 -> predict parity
+    (the reference's interseg/ecseg_c load path, src/utils.py:29-33);
+  * the reference's own TF1 NuSeT graph (imported from
+    /root/reference/src/model_layers) -> checkpoint ->
+    scripts/convert_tf1_ckpt.py -> unet_forward/rpn_forward parity vs
+    sess.run (reference src/utils.py:35-103).
+
+TF is imported lazily and the whole module is skipped if it is missing, so
+the rest of the suite stays TF-free.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
+
+tf = pytest.importorskip("tensorflow")
+
+REFERENCE_SRC = "/root/reference/src"
+
+
+# ---------------------------------------------------------------------------
+# op-level golden tests
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kh,kw", [(3, 3), (5, 5), (7, 7), (2, 2), (4, 4), (1, 7), (4, 3)])
+def test_conv2d_same_tf_matches_tf(rng, kh, kw):
+    from ecseg_tpu.ops.conv_host import conv2d_same_tf
+
+    x = rng.standard_normal((23, 31)).astype(np.float32)
+    k = rng.standard_normal((kh, kw)).astype(np.float32)
+    ref = tf.nn.conv2d(
+        x[None, :, :, None], k[:, :, None, None], strides=1, padding="SAME"
+    ).numpy()[0, :, :, 0]
+    np.testing.assert_allclose(conv2d_same_tf(x, k), ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kh,kw", [(3, 3), (2, 2), (1, 2), (2, 1)])
+def test_conv2d_valid_tf_matches_tf(rng, kh, kw):
+    from ecseg_tpu.ops.conv_host import conv2d_valid_tf
+
+    x = rng.standard_normal((17, 19)).astype(np.float32)
+    k = rng.standard_normal((kh, kw)).astype(np.float32)
+    ref = tf.nn.conv2d(
+        x[None, :, :, None], k[:, :, None, None], strides=1, padding="VALID"
+    ).numpy()[0, :, :, 0]
+    np.testing.assert_allclose(conv2d_valid_tf(x, k), ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("iou_t", [0.01, 0.5, 0.9])
+@pytest.mark.parametrize("max_out", [5, 50, 400])
+def test_nms_matches_tf(rng, iou_t, max_out):
+    from ecseg_tpu.ops.boxes import nms_jax, nms_numpy
+
+    n = 200
+    centers = rng.random((n, 2)).astype(np.float32) * 100
+    sizes = rng.random((n, 2)).astype(np.float32) * 20 + 1
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], axis=1)
+    boxes = boxes[:, [0, 1, 2, 3]].astype(np.float32)  # (y1, x1, y2, x2)
+    scores = rng.random(n).astype(np.float32)
+
+    ref = tf.image.non_max_suppression(boxes, scores, max_out, iou_t).numpy()
+
+    got = nms_numpy(boxes, scores, max_out, iou_t)
+    np.testing.assert_array_equal(got, ref)
+
+    idx, valid = nms_jax(boxes, scores, max_out, iou_t)
+    got_jax = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got_jax, ref)
+
+
+# ---------------------------------------------------------------------------
+# Keras H5 / SavedModel import golden tests
+# ---------------------------------------------------------------------------
+
+
+def _build_tf_unet():
+    """A compact functional U-Net covering the layer types metaseg.h5-style
+    blobs use: Conv2D(+fused relu), MaxPooling2D, Conv2DTranspose,
+    Concatenate, BatchNormalization, final 1x1 softmax conv."""
+    from tf_keras import Model, layers
+
+    inp = layers.Input((64, 64, 1), name="in0")
+    e1 = layers.Conv2D(8, 3, padding="same", activation="relu", name="e1")(inp)
+    e1 = layers.BatchNormalization(name="bn1")(e1)
+    p1 = layers.MaxPooling2D(2, name="p1")(e1)
+    e2 = layers.Conv2D(16, 3, padding="same", activation="relu", name="e2")(p1)
+    u1 = layers.Conv2DTranspose(8, 3, strides=2, padding="same", name="u1")(e2)
+    c1 = layers.Concatenate(name="c1")([e1, u1])
+    d1 = layers.Conv2D(8, 3, padding="same", activation="relu", name="d1")(c1)
+    out = layers.Conv2D(4, 1, padding="same", activation="softmax", name="head")(d1)
+    return Model(inp, out, name="tiny_unet")
+
+
+def _set_bn_nontrivial(model, rng):
+    """Give BatchNorm non-default moving statistics so the import test
+    actually exercises the inference-mode math."""
+    for layer in model.layers:
+        if layer.__class__.__name__ == "BatchNormalization":
+            g, b, mean, var = layer.get_weights()
+            layer.set_weights([
+                g + rng.random(g.shape).astype(np.float32),
+                b + rng.random(b.shape).astype(np.float32),
+                mean + rng.standard_normal(mean.shape).astype(np.float32),
+                var + rng.random(var.shape).astype(np.float32),
+            ])
+
+
+def test_keras_h5_import_matches_tf_predict(rng, tmp_path):
+    from ecseg_tpu.models.keras_import import import_keras_h5
+
+    model = _build_tf_unet()
+    _set_bn_nontrivial(model, rng)
+    h5_path = str(tmp_path / "tiny_unet.h5")
+    model.save(h5_path)
+
+    x = rng.random((3, 64, 64, 1)).astype(np.float32)
+    ref = model.predict(x, verbose=0)
+
+    km = import_keras_h5(h5_path)
+    got = km.predict(x)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_savedmodel_convert_matches_tf_predict(rng, tmp_path):
+    """SavedModel -> convert_savedmodel.py -> import_keras_h5 parity, the
+    interseg/ecseg_c model path (reference src/utils.py:27-33)."""
+    from tf_keras import Model, layers
+
+    from ecseg_tpu.models.keras_import import import_keras_h5
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from convert_savedmodel import convert
+    finally:
+        sys.path.pop(0)
+
+    inp = layers.Input((32, 32, 1), name="in0")
+    x = layers.Conv2D(8, 3, padding="same", activation="relu", name="c1")(inp)
+    x = layers.MaxPooling2D(2, name="p1")(x)
+    x = layers.Flatten(name="f")(x)
+    out = layers.Dense(3, activation="softmax", name="probs")(x)
+    model = Model(inp, out, name="tiny_clf")
+
+    sm_dir = str(tmp_path / "tiny_clf_savedmodel")
+    model.save(sm_dir)  # legacy keras -> TF SavedModel directory
+    h5_path = str(tmp_path / "tiny_clf.h5")
+    convert(sm_dir, h5_path)
+
+    xb = rng.random((4, 32, 32, 1)).astype(np.float32)
+    ref = model.predict(xb, verbose=0)
+    got = import_keras_h5(h5_path).predict(xb)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Reference NuSeT TF1 graph golden test
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_SRC), reason="reference checkout not present"
+)
+def test_nuset_tf1_graph_and_ckpt_convert_parity(rng, tmp_path):
+    """Build the reference's own TF1 UNET+RPN graph
+    (reference src/model_layers/models.py:5-136, model_RPN.py:5-46), save a
+    checkpoint, convert it with scripts/convert_tf1_ckpt.py, and assert our
+    unet_forward / rpn_forward reproduce sess.run to fp32 tolerance."""
+    import tensorflow.compat.v1 as tf1
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REFERENCE_SRC)
+    try:
+        from model_layers.models import UNET as REF_UNET
+        from model_layers.model_RPN import RPN as REF_RPN
+    finally:
+        sys.path.pop(0)
+
+    num_ref_anchors = 21  # reference src/utils.py:59-60,67
+    x = rng.random((1, 64, 64, 1)).astype(np.float32)
+
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.disable_eager_execution()
+        inp = tf1.placeholder(tf.float32, [1, None, None, 1])
+        # same variable scopes as the reference graph builder
+        # (reference src/utils.py:48,74)
+        with tf1.variable_scope("model_U-Net"):
+            logits, rpn_feat = REF_UNET(2, inp)
+        with tf1.variable_scope("model_RPN"):
+            rpn_out = REF_RPN(rpn_feat, num_ref_anchors)
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            ref_logits, ref_feat = sess.run([logits, rpn_feat], {inp: x})
+            ref_rpn = sess.run(rpn_out, {inp: x})
+            ckpt_dir = tmp_path / "nuset"
+            ckpt_dir.mkdir()
+            saver.save(sess, str(ckpt_dir / "whole_norm.ckpt"))
+            saver.save(sess, str(ckpt_dir / "foreground.ckpt"))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from convert_tf1_ckpt import convert
+    finally:
+        sys.path.pop(0)
+    npz_path = str(tmp_path / "nuset.npz")
+    convert(str(ckpt_dir), npz_path)
+
+    from ecseg_tpu.models.keras_import import load_npz_pytree
+    from ecseg_tpu.models.nuset import rpn_forward, unet_forward
+
+    tree = load_npz_pytree(npz_path)
+    got_logits, got_feat = unet_forward(tree["whole"], jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(got_logits), ref_logits, rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(got_feat), ref_feat, rtol=1e-4, atol=1e-4)
+
+    got_rpn = rpn_forward(tree["fg"]["rpn"], jnp.asarray(ref_feat))
+    for key_ours, key_ref in [
+        ("rpn_cls_prob", "rpn_cls_prob"),
+        ("rpn_bbox_pred", "rpn_bbox_pred"),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(got_rpn[key_ours]),
+            ref_rpn[key_ref],
+            rtol=1e-4,
+            atol=1e-5,
+        )
