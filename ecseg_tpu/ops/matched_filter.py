@@ -2,15 +2,24 @@
 the stat_fish image helpers.
 
 Parity targets: reference src/stat_fish.py:28-142 (kernel construction,
-thresholding, boundaries, channel merge, blob counting).  The convolution is
-provided both host-side (exact TF-'SAME' correlation alignment) and as a JAX
-function for the TPU path.
+thresholding, boundaries, channel merge, blob counting).  The matched-filter
+convolution exists in two twins:
+
+  * host (:func:`ecseg_tpu.ops.conv_host.conv2d_same_tf`) -- exact TF-'SAME'
+    correlation alignment, the parity reference;
+  * device (:func:`conv2d_same_tf_jax` / :func:`get_thresholded_jax`) --
+    ``lax.conv_general_dilated`` with the same explicit asymmetric padding,
+    jit-compiled for the TPU path; the full per-channel thresholding
+    (conv > threshold OR channel-max, AND intensity gate, AND cell mask)
+    runs in one fused device program.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple
 
+import jax
 import numpy as np
 import scipy.stats
 
@@ -74,6 +83,71 @@ def get_thresholded(
     ).astype(int)
     thresholded *= np.dstack([segmented_cells] * (num_channels - 1))
     return thresholded
+
+
+def conv2d_same_tf_jax(x, kernel):
+    """Device twin of :func:`ecseg_tpu.ops.conv_host.conv2d_same_tf`: 2-D
+    correlation with TF-'SAME' zero padding (lo = (k-1)//2, hi = k-1-lo per
+    axis), stride 1.  ``x`` (H, W) or (B, H, W); ``kernel`` (kh, kw)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = jnp.asarray(x)
+    kernel = jnp.asarray(kernel, jnp.float32)
+    kh, kw = kernel.shape
+    pad = (
+        ((kh - 1) // 2, kh - 1 - (kh - 1) // 2),
+        ((kw - 1) // 2, kw - 1 - (kw - 1) // 2),
+    )
+    squeeze_batch = x.ndim == 2
+    if squeeze_batch:
+        x = x[None]
+    y = lax.conv_general_dilated(
+        x[..., None].astype(jnp.float32),
+        kernel[..., None, None],
+        window_strides=(1, 1),
+        padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[..., 0]
+    return y[0] if squeeze_batch else y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gaussian_stdev", "normal_threshold", "kernel_shape"),
+)
+def get_thresholded_jax(
+    I,
+    segmented_cells,
+    gaussian_stdev: float,
+    normal_threshold: float,
+    color_sensitivity,
+    kernel_shape: Tuple[int, int],
+):
+    """Device twin of :func:`get_thresholded`: the whole per-FISH-channel
+    center detection (reference stat_fish.py:73-88) as one jitted program.
+    The projection kernel is a small host-precomputed constant (pure function
+    of static (shape, sigma)); everything image-sized stays on device.
+
+    Output matches the host function exactly: int32 (H, W, C-1) whose values
+    are {0, <segmented_cells value>} (the reference multiplies the boolean
+    centers by the 0/255 nuclei mask)."""
+    import jax.numpy as jnp
+
+    kernel = jnp.asarray(
+        get_gaussian_proj_kernel(np.array(kernel_shape), gaussian_stdev)
+    )
+    I = jnp.asarray(I)
+    fish = I[..., 1:].astype(jnp.float32)  # (H, W, C-1)
+    chans = jnp.moveaxis(fish, -1, 0)  # (C-1, H, W)
+    coeffs = conv2d_same_tf_jax(chans, kernel)  # (C-1, H, W)
+    ch_max = jnp.max(chans, axis=(1, 2), keepdims=True)
+    max_pixels = jnp.logical_and(chans == ch_max, ch_max > 0)
+    centers = jnp.logical_or(coeffs > normal_threshold, max_pixels)
+    sens = jnp.asarray(color_sensitivity, jnp.float32).reshape(-1, 1, 1)
+    out = jnp.logical_and(centers, chans > sens).astype(jnp.int32)
+    cells = jnp.asarray(segmented_cells).astype(jnp.int32)
+    return jnp.moveaxis(out, 0, -1) * cells[..., None]
 
 
 def get_boundaries(s: np.ndarray, line_thickness: int = 1) -> np.ndarray:

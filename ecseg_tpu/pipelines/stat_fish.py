@@ -19,6 +19,7 @@ import subprocess as sp
 import sys
 from typing import Dict, Optional
 
+import jax
 import numpy as np
 import pandas as pd
 
@@ -159,14 +160,28 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
                 int(dim // sf) if (dim // sf % 2) else int(dim // sf) + 1
                 for dim in kernel_shape
             ]
-            thresholded = mf.get_thresholded(
-                I,
-                segmented_cells,
-                gaussian_stdev,
-                normal_threshold,
-                color_sensitivity,
-                gaussian_kernel_shape,
-            )
+            if jax.default_backend() == "tpu":
+                # fused device program (conv + max-pixel + gates); host twin
+                # kept below for CPU runs and parity tests
+                thresholded = np.asarray(
+                    mf.get_thresholded_jax(
+                        I,
+                        segmented_cells,
+                        float(gaussian_stdev),
+                        float(normal_threshold),
+                        tuple(np.asarray(color_sensitivity).tolist()),
+                        tuple(gaussian_kernel_shape),
+                    )
+                )
+            else:
+                thresholded = mf.get_thresholded(
+                    I,
+                    segmented_cells,
+                    gaussian_stdev,
+                    normal_threshold,
+                    color_sensitivity,
+                    gaussian_kernel_shape,
+                )
         else:
             thresholded = np.zeros_like(I)[..., 1:]
             gaussian_stdev = min_cc_size = np.nan

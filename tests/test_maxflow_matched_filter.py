@@ -129,3 +129,33 @@ def test_get_scale():
     labels[0:10, 0:10] = 1  # area 100
     sf = mf.get_scale(labels, target_median_nuclei_size=2500)
     assert sf == pytest.approx(5.0)
+
+
+def test_get_thresholded_jax_matches_host(rng):
+    """Device matched-filter path vs the host TF-'SAME' parity twin."""
+    from ecseg_tpu.ops.matched_filter import (
+        conv2d_same_tf_jax,
+        get_thresholded,
+        get_thresholded_jax,
+    )
+    from ecseg_tpu.ops.conv_host import conv2d_same_tf
+
+    # conv twin parity, odd and even kernels
+    for kh, kw in [(7, 7), (5, 3), (4, 4), (2, 6)]:
+        x = rng.standard_normal((33, 47)).astype(np.float32)
+        k = rng.standard_normal((kh, kw)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(conv2d_same_tf_jax(x, k)),
+            conv2d_same_tf(x, k),
+            rtol=2e-4,
+            atol=2e-4,
+        )
+
+    # full thresholding parity on a synthetic BGR image
+    I = (rng.random((64, 80, 3)) * 255).astype(np.uint8)
+    cells = ((rng.random((64, 80)) < 0.4) * 255).astype(np.uint8)
+    host = get_thresholded(I, cells, 1.5, 15.0, [70, 70], [7, 7])
+    dev = np.asarray(
+        get_thresholded_jax(I, cells, 1.5, 15.0, (70.0, 70.0), (7, 7))
+    )
+    np.testing.assert_array_equal(dev, host)
