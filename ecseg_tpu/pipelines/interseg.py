@@ -134,11 +134,24 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     image_paths = imgio.get_imgs(inpath)
     ecseg_i_params, ecseg_c_params = load_classifier_models(has_centromeric_probe)
 
-    def predict_i(p_img):  # (1,256,256) uint8 target-FISH channel
-        return np.asarray(classifiers.ecseg_i_forward(ecseg_i_params, p_img))
+    def _pad8(batch):
+        """Pad the batch axis to a multiple of 8 so recompiles are bounded
+        (one program per padded size, not per nucleus count)."""
+        n = batch.shape[0]
+        rem = (-n) % 8
+        if rem:
+            batch = np.concatenate(
+                [batch, np.zeros((rem,) + batch.shape[1:], batch.dtype)]
+            )
+        return batch, n
 
-    def predict_c(p_img):  # (1,256,256,3) preprocessed
-        return np.asarray(classifiers.ecseg_c_forward(ecseg_c_params, p_img))
+    def predict_i_batch(patches):  # (N,256,256) uint8 target-FISH channel
+        padded, n = _pad8(patches)
+        return np.asarray(classifiers.ecseg_i_forward(ecseg_i_params, padded))[:n]
+
+    def predict_c_batch(patches):  # (N,256,256,3) preprocessed
+        padded, n = _pad8(patches)
+        return np.asarray(classifiers.ecseg_c_forward(ecseg_c_params, padded))[:n]
 
     stat_fish_results = pd.read_csv(
         os.path.join(inpath, "annotated/stat_fish_lsq.csv"),
@@ -181,61 +194,27 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         segmented_cells = cc_label(segmented_cells != 0)
         regions = regionprops(segmented_cells)
 
+        # ---- phase 1: collect every nucleus crop (host) ------------------
+        # The reference classifies each nucleus with a batch-of-1 predict
+        # (reference src/interseg.py:155); here all crops of the image are
+        # gathered first and classified in ONE device batch per model.
         names, centroids = [], []
-        pred_no_amp, pred_ec, pred_hsr, ecseg_i_label = [], [], [], []
-        pred_no_focal, pred_focal, ecseg_c_label, interseg_label = [], [], [], []
+        entries = []  # per row: ("skip", reason) or ("patch", idx)
+        patches = []  # (256, 256, 3) uint8 crops, indexed by entries
 
-        def no_pred(reason):
-            interseg_label.append(reason)
-            ecseg_i_label.append(reason)
-            pred_no_amp.append(reason)
-            pred_ec.append(reason)
-            pred_hsr.append(reason)
-            if has_centromeric_probe:
-                ecseg_c_label.append(reason)
-                pred_no_focal.append(reason)
-                pred_focal.append(reason)
-
-        def classify_patch(p):
-            """p: (1, 256, 256, 3) uint8.  Appends one row of predictions."""
-            pred = predict_i(p[..., 0])
-            a, b, c = pred[0]
-            pred_no_amp.append(a)
-            pred_ec.append(b)
-            pred_hsr.append(c)
-            label_i = ECSEG_I_LABEL_MAP[int(np.argmax(pred[0]))]
-            ecseg_i_label.append(label_i)
-
-            if has_centromeric_probe and p[..., 1].max() > 10 and quality_pass:
-                pc = np.expand_dims(preprocess_ecseg_c(p[0]), 0)
-                pred_c = predict_c(pc)
-                pred_no_focal.append(1 - pred_c[0, 0])
-                pred_focal.append(pred_c[0, 0])
-                label_c = ECSEG_C_LABEL_MAP[int(pred_c[0, 0] > 0.5)]
-                ecseg_c_label.append(label_c)
-                interseg_label.append(INTERSEG_LABEL_MAP[(label_c, label_i)])
-            else:
-                if has_centromeric_probe and not quality_pass:
-                    reason = "No_Prediction (Failed Centromeric Quality Score)"
-                    ecseg_c_label.append(reason)
-                    pred_no_focal.append(reason)
-                    pred_focal.append(reason)
-                elif has_centromeric_probe and p[..., 1].max() <= 10:
-                    reason = "No_Prediction (Low_CENT_Brightness)"
-                    ecseg_c_label.append(reason)
-                    pred_no_focal.append(reason)
-                    pred_focal.append(reason)
-                interseg_label.append(label_i)
+        def add_row(entry):
+            names.append(path_split[-1][:-4])
+            center = entry_center[0]
+            centroids.append(f"{int(center[0])}_{int(center[1])}")
+            entries.append(entry)
 
         for region in regions:
-            center = region.centroid
+            entry_center = [region.centroid]
             mask = segmented_cells == region.label
             temp = I * np.expand_dims(mask, -1)
 
             if np.sum(temp[..., 0]) / np.sum(mask) < 12.75:
-                no_pred("No_Prediction (Low_TRGT_brightness)")
-                centroids.append(f"{int(center[0])}_{int(center[1])}")
-                names.append(path_split[-1][:-4])
+                add_row(("skip", "No_Prediction (Low_TRGT_brightness)"))
                 continue
 
             bb = region.bbox
@@ -245,23 +224,77 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                 nuclei = temp[
                     bb[0] : bb[0] + min(256, h), bb[1] : bb[1] + min(256, w)
                 ]
-                p = np.expand_dims(
-                    resize(nuclei, (256, 256), preserve_range=True), 0
-                ).astype("uint8")
-                classify_patch(p)
-                centroids.append(f"{int(center[0])}_{int(center[1])}")
-                names.append(path_split[-1][:-4])
+                patches.append(
+                    resize(nuclei, (256, 256), preserve_range=True).astype("uint8")
+                )
+                add_row(("patch", len(patches) - 1))
             else:
                 nuclei = temp[bb[0] : bb[0] + h, bb[1] : bb[1] + w]
                 for p in im2patches_grid(nuclei):
-                    names.append(path_split[-1][:-4])
-                    centroids.append(f"{int(center[0])}_{int(center[1])}")
                     if not p.any():
-                        no_pred("No_Prediction (Segmentation_Empty)")
-                        # no_pred appended to the label lists only; centroids
-                        # and names were appended above, matching reference
+                        add_row(("skip", "No_Prediction (Segmentation_Empty)"))
                         continue
-                    classify_patch(np.expand_dims(p, 0))
+                    patches.append(p)
+                    add_row(("patch", len(patches) - 1))
+
+        # ---- phase 2: one device batch per classifier --------------------
+        if patches:
+            batch = np.stack(patches)  # (N, 256, 256, 3)
+            probs_i = predict_i_batch(batch[..., 0])
+            if has_centromeric_probe:
+                cent_ok = batch[..., 1].max(axis=(1, 2)) > 10
+                c_rows = np.nonzero(cent_ok & quality_pass)[0]
+                if len(c_rows):
+                    pre = np.stack([preprocess_ecseg_c(batch[k]) for k in c_rows])
+                    probs_c = predict_c_batch(pre)
+                    c_prob = dict(zip(c_rows.tolist(), probs_c[:, 0].tolist()))
+                else:
+                    c_prob = {}
+
+        # ---- phase 3: assemble rows in collection order -------------------
+        pred_no_amp, pred_ec, pred_hsr, ecseg_i_label = [], [], [], []
+        pred_no_focal, pred_focal, ecseg_c_label, interseg_label = [], [], [], []
+        for entry in entries:
+            if entry[0] == "skip":
+                reason = entry[1]
+                interseg_label.append(reason)
+                ecseg_i_label.append(reason)
+                pred_no_amp.append(reason)
+                pred_ec.append(reason)
+                pred_hsr.append(reason)
+                if has_centromeric_probe:
+                    ecseg_c_label.append(reason)
+                    pred_no_focal.append(reason)
+                    pred_focal.append(reason)
+                continue
+
+            k = entry[1]
+            a, b, c = probs_i[k]
+            pred_no_amp.append(a)
+            pred_ec.append(b)
+            pred_hsr.append(c)
+            label_i = ECSEG_I_LABEL_MAP[int(np.argmax(probs_i[k]))]
+            ecseg_i_label.append(label_i)
+
+            if has_centromeric_probe and k in c_prob:
+                pc = c_prob[k]
+                pred_no_focal.append(1 - pc)
+                pred_focal.append(pc)
+                label_c = ECSEG_C_LABEL_MAP[int(pc > 0.5)]
+                ecseg_c_label.append(label_c)
+                interseg_label.append(INTERSEG_LABEL_MAP[(label_c, label_i)])
+            else:
+                if has_centromeric_probe and not quality_pass:
+                    reason = "No_Prediction (Failed Centromeric Quality Score)"
+                    ecseg_c_label.append(reason)
+                    pred_no_focal.append(reason)
+                    pred_focal.append(reason)
+                elif has_centromeric_probe:  # cent brightness <= 10
+                    reason = "No_Prediction (Low_CENT_Brightness)"
+                    ecseg_c_label.append(reason)
+                    pred_no_focal.append(reason)
+                    pred_focal.append(reason)
+                interseg_label.append(label_i)
 
         df = pd.DataFrame()
         df["image_name"] = np.array(names)

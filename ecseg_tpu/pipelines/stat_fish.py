@@ -29,7 +29,7 @@ from ..models import nuset_infer
 from ..ops import matched_filter as mf
 from ..ops import maxflow
 from ..ops.cc import label as cc_label, regionprops
-from ..ops.meta_post import intensity_metrics
+from ..ops import region_stats
 
 AQUA_RGB = [233, 137, 54]  # reference stat_fish.py:163
 
@@ -139,7 +139,6 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             labeled_segmented_cells = cc_label(segmented_cells != 0)
             min_cut_vis = None
 
-        regions = regionprops(labeled_segmented_cells)
 
         # NOTE: like the reference (stat_fish.py:228), 'auto' resolves on the
         # FIRST image and the resulting numeric scale is reused for the rest
@@ -163,7 +162,9 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             if jax.default_backend() == "tpu":
                 # fused device program (conv + max-pixel + gates); host twin
                 # kept below for CPU runs and parity tests
-                thresholded = np.asarray(
+                # np.array (not asarray): device buffers are read-only and
+                # the small-blob removal below mutates this map in place
+                thresholded = np.array(
                     mf.get_thresholded_jax(
                         I,
                         segmented_cells,
@@ -186,53 +187,40 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             thresholded = np.zeros_like(I)[..., 1:]
             gaussian_stdev = min_cc_size = np.nan
 
-        names, cell_sizes, centroids = [], [], []
-        green_red_pixels, green_red_blobs = [], []
-        fish_sizes, fish_blobs, avg_fish, max_fish = [
-            [[] for _ in range(num_channels - 1)] for _ in range(4)
-        ]
+        # Per-nucleus statistics, vectorized: one global labeled pass +
+        # bincounts per channel instead of the reference's per-nucleus
+        # python loops (reference stat_fish.py:249-275); numbers identical
+        # (covered by tests/test_region_stats.py against the loop oracle).
+        cell_labels, areas, centroids = region_stats.cell_geometry(
+            labeled_segmented_cells
+        )
+        names = [path_split[-1][:-4]] * len(cell_labels)
+        cell_sizes = list(areas)
+        min_size = min_cc_size if not np.isnan(min_cc_size) else 0
 
-        for region in regions:
-            raw_cell, thresh_cell, cell_seg, _ = mf.cell_splice_segmentation(
-                I, thresholded, labeled_segmented_cells, region
+        fish_sizes, fish_blobs, avg_fish, max_fish = [], [], [], []
+        for c in range(num_channels - 1):
+            counts, px, removed = region_stats.per_cell_blob_stats(
+                thresholded[..., c] != 0, labeled_segmented_cells, min_size
             )
-            fish = [thresh_cell[..., c] for c in range(num_channels - 1)]
-            raw_fish = [
-                raw_cell[..., c].astype(np.int64) * cell_seg
-                for c in range(1, num_channels)
-            ]
-            for (
-                raw_fish_ch,
-                avg_fish_ch,
-                max_fish_ch,
-                fish_sizes_ch,
-                fish_blobs_ch,
-                fish_splice,
-                _cs,
-            ) in zip(
-                raw_fish, avg_fish, max_fish, fish_sizes, fish_blobs, fish,
-                color_sensitivity,
-            ):
-                blob_count = mf.count_blobs(fish_splice, cell_seg, min_cc_size)
-                fish_blobs_ch.append(blob_count)
-                fish_pixels = (fish_splice * cell_seg).sum() / 255
-                assert fish_pixels == int(fish_pixels)
-                fish_sizes_ch.append(int(fish_pixels))
-                avg_i, max_i = intensity_metrics(raw_fish_ch)
-                avg_fish_ch.append(avg_i if not np.isnan(avg_i) else 0)
-                max_fish_ch.append(max_i)
+            # the reference deletes sub-threshold blobs from the thresholded
+            # map in place (stat_fish.py:134-142), and the mutated map is
+            # saved as the lsq tif below -- replicate the mutation
+            thresholded[..., c][removed] = 0
+            fish_blobs.append(list(counts[cell_labels]))
+            fish_sizes.append(list(px[cell_labels]))
+            avg, mx = region_stats.per_cell_intensity(
+                I[..., c + 1].astype(np.int64), labeled_segmented_cells
+            )
+            avg_fish.append(list(avg[cell_labels]))
+            max_fish.append(list(mx[cell_labels].astype(np.int64)))
 
-            cell_sizes.append(region.area)
-            center = region.centroid
-            centroids.append(f"{int(center[0])}_{int(center[1])}")
-            names.append(path_split[-1][:-4])
-
-            green_red_splice = (fish[0]) * (fish[1] / 255)
-            blob_count = mf.count_blobs(green_red_splice, cell_seg, min_cc_size)
-            fish_pixels = (green_red_splice * cell_seg).sum() / 255
-            assert fish_pixels == int(fish_pixels)
-            green_red_pixels.append(int(fish_pixels))
-            green_red_blobs.append(blob_count)
+        gr_mask = (thresholded[..., 0] != 0) & (thresholded[..., 1] != 0)
+        gr_counts, gr_px, _ = region_stats.per_cell_blob_stats(
+            gr_mask, labeled_segmented_cells, min_size
+        )
+        green_red_blobs = list(gr_counts[cell_labels])
+        green_red_pixels = list(gr_px[cell_labels])
 
         df = pd.DataFrame()
         df["image_name"] = np.array(names)
