@@ -231,6 +231,32 @@ def stitch_argmax_jax(
     return stitch_patches_jax(labels, positions, overlap_value, scw)[..., 0]
 
 
+def stitch_labels_host(
+    label_patches: np.ndarray,
+    positions: Sequence[Tuple[int, int]],
+    overlap_value: int = OVERLAP,
+    scw: int = SCW,
+) -> np.ndarray:
+    """Stitch per-patch LABEL maps (N, scw, scw) int on the host using the
+    same precomputed copy plan as the device stitcher, so all three stitchers
+    (host float, device, host label) share identical copy semantics.  Used by
+    the mesh-sharded folder path, where the forward+argmax runs in packed
+    cross-image device batches and only small int8/int32 label patches return
+    to the host."""
+    pos_arr = np.asarray(positions)
+    h_l = int(pos_arr[:, 0].max())
+    w_l = int(pos_arr[:, 1].max())
+    copies, H, W = _stitch_plan_cached(
+        tuple(map(tuple, positions)), overlap_value, scw, h_l, w_l
+    )
+    canvas = np.zeros((H, W), dtype=label_patches.dtype)
+    for (i, sy, sx, dy, dx, sh, sw) in copies:
+        canvas[dy : dy + sh, dx : dx + sw] = label_patches[i][
+            sy : sy + sh, sx : sx + sw
+        ]
+    return canvas
+
+
 def img_as_ubyte_float(x: np.ndarray) -> np.ndarray:
     """skimage ``img_as_ubyte`` for float input in [0, 1]: multiply by 255,
     round half-to-even, clip (used at reference src/utils.py:117)."""

@@ -90,6 +90,99 @@ def meta_segment(
     return meta_inference(labels)
 
 
+def _patch_labels_fn(params, patches_u8, forward_fn, dtype):
+    """(N, 256, 256, 1) uint8 -> (N, 256, 256) int32 per-patch label maps:
+    forward + uint8 quantization + channel argmax (the stitch-commuting form,
+    see stitch_argmax_jax)."""
+    probs = forward_fn(params, patches_u8, dtype)
+    u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
+    return jnp.argmax(u8, axis=-1).astype(jnp.int32)
+
+
+def segment_folder_sharded(
+    model,
+    image_paths,
+    mesh=None,
+    *,
+    batch_patches: int = 256,
+    dtype=jnp.float32,
+    save_dapi: bool = True,
+):
+    """Mesh-parallel folder segmentation (the TPU-native replacement for the
+    reference's MirroredStrategy scope, reference src/metaseg.py:33-36 /
+    SURVEY 2.6): patches from ALL images are packed into device-filling
+    batches sharded over the mesh 'data' axis, so small images cannot
+    under-fill the chips.  Per image, only the stitched int label map returns
+    to the host (for the sequential meta_inference pass).
+
+    Yields (image_path, label_map int64 (H, W)) in input order.
+    """
+    from ..parallel.mesh import make_mesh, pad_to_multiple, param_shardings
+    from ..runtime.batching import prefetch_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if isinstance(model, tuple):
+        params, forward_fn = model
+    else:
+        params, forward_fn = model, _default_forward
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape["data"]
+    batch_patches = max(batch_patches, n_data)
+
+    p_shard = param_shardings(params, mesh)
+    x_shard = NamedSharding(mesh, P("data", None, None, None))
+    jitted = jax.jit(
+        functools.partial(_patch_labels_fn, forward_fn=forward_fn, dtype=dtype),
+        in_shardings=(p_shard, x_shard),
+        out_shardings=NamedSharding(mesh, P("data", None, None)),
+    )
+    params = jax.device_put(params, p_shard)
+
+    # make the dispatched batch a single static shape so the whole folder
+    # compiles exactly one program
+    batch_patches = -(-batch_patches // n_data) * n_data
+
+    pending = []  # (path, positions, n_patches) awaiting results
+    buf = np.zeros((0, tiling.SCW, tiling.SCW, 1), np.uint8)
+    out_patches = []  # label patch arrays, aligned with pending order
+
+    def dispatch(stack, n_valid):
+        labels = np.asarray(jitted(params, jnp.asarray(stack)))[:n_valid]
+        out_patches.append(labels)
+
+    def drain():
+        nonlocal buf
+        if len(buf):
+            padded, n = pad_to_multiple(buf, batch_patches)
+            dispatch(padded, n)
+            buf = buf[:0]
+        flat = (
+            np.concatenate(out_patches, axis=0)
+            if out_patches
+            else np.zeros((0, tiling.SCW, tiling.SCW), np.int32)
+        )
+        offset = 0
+        for (path, pos, n) in pending:
+            lab = tiling.stitch_labels_host(flat[offset : offset + n], pos)
+            offset += n
+            yield path, lab.astype(np.int64)
+        pending.clear()
+        out_patches.clear()
+
+    prep = functools.partial(_prepare_image, save_dapi=save_dapi)
+    for path, (patches, pos) in prefetch_map(prep, image_paths):
+        pending.append((path, pos, len(patches)))
+        buf = np.concatenate([buf, patches.reshape(-1, tiling.SCW, tiling.SCW, 1)])
+        while len(buf) >= batch_patches:
+            dispatch(buf[:batch_patches], batch_patches)
+            buf = buf[batch_patches:]
+        # bound host memory: emit completed images periodically
+        if sum(n for (_, _, n) in pending) >= 8 * batch_patches:
+            yield from drain()
+    yield from drain()
+
+
 def load_model(model_dir: str = "models", key: Optional[jax.Array] = None):
     """Resolve the metaseg model, in priority order:
 
@@ -152,12 +245,24 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     rows = []
     path_split = None
     print("Reading from: ", inpath)
-    for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):
+
+    if len(jax.devices()) > 1:
+        # multi-chip: cross-image packed batches sharded over the mesh
+        # 'data' axis (SURVEY 2.6; replaces the reference's MirroredStrategy)
+        results = segment_folder_sharded((params, forward_fn), image_paths)
+    else:
+        def _per_image():
+            for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):
+                labels = _segment_patches_jit(
+                    params, jnp.asarray(patches), forward_fn, pos, jnp.float32
+                )
+                yield i, np.asarray(labels).astype(np.int64)
+
+        results = _per_image()
+
+    for i, raw_labels in results:
         print("Processing image: ", i)
-        labels = _segment_patches_jit(
-            params, jnp.asarray(patches), forward_fn, pos, jnp.float32
-        )
-        I = meta_inference(np.asarray(labels).astype(np.int64))
+        I = meta_inference(raw_labels)
         num_ecDNA = count_cc(I == 3)[0]
         path_split = os.path.split(i)
         outpath = os.path.join(path_split[0], "labels", path_split[1][:-4])
