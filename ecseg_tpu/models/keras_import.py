@@ -154,12 +154,12 @@ def import_keras_h5(path: str) -> KerasModel:
 
         layers_cfg = model_cfg["layers"]
         params: Dict[str, Any] = {}
-        steps: List[Tuple[str, List[str], Callable]] = []  # (out, ins, fn)
+        # steps: (out key (name, node_idx), input refs [(name, node_idx)], fn)
+        steps: List[Tuple[Tuple[str, int], List[Tuple[str, int]], Callable]] = []
 
         if class_name == "Sequential":
-            prev = "__input__"
+            prev = ("__input__", 0)
             inputs = ["__input__"]
-            outputs = None
             for lc in layers_cfg:
                 if lc["class_name"] == "InputLayer":
                     continue
@@ -167,8 +167,8 @@ def import_keras_h5(path: str) -> KerasModel:
                 fn = _make_layer_fn(lc, name, h5, params)
                 if fn is None:
                     continue
-                steps.append((name, [prev], fn))
-                prev = name
+                steps.append(((name, 0), [prev], fn))
+                prev = (name, 0)
             outputs = [prev]
         else:  # Functional
             inputs = []
@@ -177,18 +177,46 @@ def import_keras_h5(path: str) -> KerasModel:
                 if lc["class_name"] == "InputLayer":
                     inputs.append(name)
                     continue
-                in_names = _inbound_names(lc)
+                nodes = _inbound_refs(lc)
                 fn = _make_layer_fn(lc, name, h5, params)
                 if fn is None:  # identity layer (Dropout etc.)
                     fn = lambda p, xs: xs[0]
-                steps.append((name, in_names, fn))
+                # a shared layer is called once per inbound node; every call
+                # reuses the same weights but gets its own env slot
+                for node_idx, in_refs in enumerate(nodes):
+                    steps.append(((name, node_idx), in_refs, fn))
             out_spec = model_cfg.get("output_layers", [])
-            outputs = [o[0] for o in out_spec] if out_spec else [steps[-1][0]]
+            if out_spec:
+                outputs = [(o[0], o[1] if len(o) > 1 else 0) for o in out_spec]
+            else:
+                outputs = [steps[-1][0]]
+
+            # The config lists layers in creation order; with shared layers a
+            # later-created producer can feed an earlier layer's second call,
+            # so execute in dependency order (Kahn) instead.
+            available = {(name, 0) for name in inputs}
+            ordered, remaining = [], steps
+            while remaining:
+                rest = []
+                for s in remaining:
+                    if all(r in available for r in s[1]):
+                        ordered.append(s)
+                        available.add(s[0])
+                    else:
+                        rest.append(s)
+                if len(rest) == len(remaining):
+                    missing = {r for s in remaining for r in s[1]} - available
+                    raise ValueError(
+                        f"unresolvable layer graph; missing producers: {missing}"
+                    )
+                remaining = rest
+            steps = ordered
 
     def forward(p, x):
-        env = {inputs[0]: x} if len(inputs) == 1 else dict(zip(inputs, x))
-        if "__input__" in (inputs or []):
-            env["__input__"] = x
+        if len(inputs) == 1:
+            env = {(inputs[0], 0): x}
+        else:
+            env = {(name, 0): xi for name, xi in zip(inputs, x)}
         for (out, ins, fn) in steps:
             env[out] = fn(p, [env[i] for i in ins])
         res = [env[o] for o in outputs]
@@ -197,25 +225,45 @@ def import_keras_h5(path: str) -> KerasModel:
     return KerasModel(params, forward, cfg)
 
 
-def _inbound_names(layer_cfg) -> List[str]:
-    ib = layer_cfg.get("inbound_nodes", [])
-    if not ib:
-        return []
-    node = ib[0]
-    if isinstance(node, dict):  # Keras 3 style
-        args = node.get("args", [])
-        names = []
+def _inbound_refs(layer_cfg) -> List[List[Tuple[str, int]]]:
+    """All inbound nodes of a layer as [(producer_name, producer_node_idx)]
+    lists -- one entry per call of the layer (shared layers have several).
+    Handles both the legacy nested-list format and the Keras 3 dict format.
+    A producer's node index selects WHICH call of a shared producer feeds
+    this layer."""
+    out: List[List[Tuple[str, int]]] = []
+    for node in layer_cfg.get("inbound_nodes", []):
+        if isinstance(node, dict):  # Keras 3 style
+            refs: List[Tuple[str, int]] = []
 
-        def walk(a):
-            if isinstance(a, dict) and "config" in a and "keras_history" in a.get("config", {}):
-                names.append(a["config"]["keras_history"][0])
-            elif isinstance(a, (list, tuple)):
-                for e in a:
-                    walk(e)
+            def walk(a):
+                if isinstance(a, dict):
+                    hist = a.get("config", {}).get("keras_history")
+                    if hist is not None:
+                        if len(hist) > 2 and hist[2] not in (0, None):
+                            raise NotImplementedError(
+                                "multi-output producer tensors not supported"
+                            )
+                        refs.append((hist[0], hist[1] if len(hist) > 1 else 0))
+                        return
+                    for v in a.values():
+                        walk(v)
+                elif isinstance(a, (list, tuple)):
+                    for e in a:
+                        walk(e)
 
-        walk(args)
-        return names
-    return [entry[0] for entry in node]
+            walk(node.get("args", []))
+            out.append(refs)
+        else:  # legacy: [[name, node_idx, tensor_idx, kwargs], ...]
+            refs = []
+            for entry in node:
+                if len(entry) > 2 and entry[2] not in (0, None):
+                    raise NotImplementedError(
+                        "multi-output producer tensors not supported"
+                    )
+                refs.append((entry[0], entry[1] if len(entry) > 1 else 0))
+            out.append(refs)
+    return out
 
 
 def _make_layer_fn(lc, name, h5, params):
@@ -330,11 +378,20 @@ def _make_layer_fn(lc, name, h5, params):
 
         return dense_fn
     if cls == "BatchNormalization":
-        w = _layer_weights(h5, name)
-        # Keras order: gamma, beta, moving_mean, moving_variance (when both
-        # scale and center are enabled -- the common case).
-        gamma, beta, mean, var = (jnp.asarray(t) for t in w[:4])
+        w = list(_layer_weights(h5, name))
+        # Keras weight order: [gamma if scale] + [beta if center] +
+        # [moving_mean, moving_variance]
+        scale = c.get("scale", True)
+        center = c.get("center", True)
+        it = iter(w)
+        gamma = jnp.asarray(next(it)) if scale else None
+        beta = jnp.asarray(next(it)) if center else None
+        mean, var = jnp.asarray(next(it)), jnp.asarray(next(it))
         eps = c.get("epsilon", 1e-3)
+        if gamma is None:
+            gamma = jnp.ones_like(mean)
+        if beta is None:
+            beta = jnp.zeros_like(mean)
         params[name] = {"gamma": gamma, "beta": beta, "mean": mean, "var": var}
 
         def bn_fn(p, xs, _name=name, _eps=eps):
