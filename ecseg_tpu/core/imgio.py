@@ -85,7 +85,14 @@ METASEG_PALETTE_RGB = np.array(
 def save_label_png(path: str, labels: np.ndarray) -> None:
     """Save a 4-class label map as the colormapped PNG the reference writes
     with ``plt.imsave(..., cmap=ListedColormap(...), vmin=0, vmax=4)``
-    (reference src/metaseg.py:47-52)."""
+    (reference src/metaseg.py:47-52).
+
+    Parity contract: PIXEL-level, not file-byte-level.  The reference's
+    matplotlib writer emits an RGBA PNG with matplotlib's encoder settings;
+    this writes the identical per-pixel palette colors as RGB via cv2, so
+    the decoded images match but file bytes differ.  The quantitative
+    outputs (``labels/*.npy``, the CSVs) are the bit-exact contract; the PNG
+    is a visualization."""
     idx = np.clip(labels.astype(np.int64), 0, 3)
     rgb = METASEG_PALETTE_RGB[idx]
     cv2.imwrite(path, rgb[..., ::-1])  # cv2 expects BGR
