@@ -26,6 +26,7 @@ from ..core import imgio
 from ..core.config import Config, load_config
 from ..ops.cc import label as cc_label, regionprops
 from ..ops.resize import resize
+from ..runtime.trace import stage
 
 ECSEG_I_MODEL = "interseg"
 ECSEG_C_MODEL = "ecseg_c"
@@ -240,13 +241,15 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         # ---- phase 2: one device batch per classifier --------------------
         if patches:
             batch = np.stack(patches)  # (N, 256, 256, 3)
-            probs_i = predict_i_batch(batch[..., 0])
+            with stage("interseg.predict_i"):
+                probs_i = predict_i_batch(batch[..., 0])
             if has_centromeric_probe:
                 cent_ok = batch[..., 1].max(axis=(1, 2)) > 10
                 c_rows = np.nonzero(cent_ok & quality_pass)[0]
                 if len(c_rows):
                     pre = np.stack([preprocess_ecseg_c(batch[k]) for k in c_rows])
-                    probs_c = predict_c_batch(pre)
+                    with stage("interseg.predict_c"):
+                        probs_c = predict_c_batch(pre)
                     c_prob = dict(zip(c_rows.tolist(), probs_c[:, 0].tolist()))
                 else:
                     c_prob = {}

@@ -34,6 +34,7 @@ from ..models import metaseg_unet
 from ..ops import tiling
 from ..ops.cc import count_cc
 from ..ops.meta_post import meta_inference, meta_preprocess
+from ..runtime.trace import stage
 
 MODEL_NAME = "metaseg.h5"
 
@@ -148,7 +149,8 @@ def segment_folder_sharded(
     out_patches = []  # label patch arrays, aligned with pending order
 
     def dispatch(stack, n_valid):
-        labels = np.asarray(jitted(params, jnp.asarray(stack)))[:n_valid]
+        with stage("metaseg.sharded_forward"):
+            labels = np.asarray(jitted(params, jnp.asarray(stack)))[:n_valid]
         out_patches.append(labels)
 
     def drain():
@@ -253,22 +255,26 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     else:
         def _per_image():
             for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):
-                labels = _segment_patches_jit(
-                    params, jnp.asarray(patches), forward_fn, pos, jnp.float32
-                )
-                yield i, np.asarray(labels).astype(np.int64)
+                with stage("metaseg.forward+stitch"):
+                    labels = _segment_patches_jit(
+                        params, jnp.asarray(patches), forward_fn, pos, jnp.float32
+                    )
+                    labels = np.asarray(labels).astype(np.int64)
+                yield i, labels
 
         results = _per_image()
 
     for i, raw_labels in results:
         print("Processing image: ", i)
-        I = meta_inference(raw_labels)
-        num_ecDNA = count_cc(I == 3)[0]
+        with stage("metaseg.meta_inference"):
+            I = meta_inference(raw_labels)
+            num_ecDNA = count_cc(I == 3)[0]
         path_split = os.path.split(i)
         outpath = os.path.join(path_split[0], "labels", path_split[1][:-4])
         print("Saving labels: ", i, " to ", outpath)
-        imgio.save_label_png(outpath + ".png", I.astype("uint8"))
-        np.save(outpath, I)
+        with stage("metaseg.write"):
+            imgio.save_label_png(outpath + ".png", I.astype("uint8"))
+            np.save(outpath, I)
         rows.append({"image name": path_split[1], "# of ec": num_ecDNA})
 
     df = pd.DataFrame(rows, columns=["image name", "# of ec"])

@@ -30,6 +30,7 @@ from ..ops import matched_filter as mf
 from ..ops import maxflow
 from ..ops.cc import label as cc_label, regionprops
 from ..ops import region_stats
+from ..runtime.trace import stage
 
 AQUA_RGB = [233, 137, 54]  # reference stat_fish.py:163
 
@@ -125,16 +126,18 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             raise AssertionError
         blue = I[:, :, 0]
 
-        segmented_cells = nuset_infer.nuclei_segment(blue, model, nuclei_size_t)
+        with stage("stat_fish.nuclei_segment"):
+            segmented_cells = nuset_infer.nuclei_segment(blue, model, nuclei_size_t)
 
         imheight, imwidth = segmented_cells.shape
         I = I[:imheight, :imwidth, :]
         segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
 
         if var.use_min_cut:
-            labeled_segmented_cells, min_cut_vis = maxflow.binary_seg_to_instance_min_cut(
-                segmented_cells, flow_limit, cell_size_threshold_coeff
-            )
+            with stage("stat_fish.min_cut"):
+                labeled_segmented_cells, min_cut_vis = maxflow.binary_seg_to_instance_min_cut(
+                    segmented_cells, flow_limit, cell_size_threshold_coeff
+                )
         else:
             labeled_segmented_cells = cc_label(segmented_cells != 0)
             min_cut_vis = None
@@ -159,6 +162,8 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
                 int(dim // sf) if (dim // sf % 2) else int(dim // sf) + 1
                 for dim in kernel_shape
             ]
+            trace_mf = stage("stat_fish.matched_filter")
+            trace_mf.__enter__()
             if jax.default_backend() == "tpu":
                 # fused device program (conv + max-pixel + gates); host twin
                 # kept below for CPU runs and parity tests
@@ -183,6 +188,7 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
                     color_sensitivity,
                     gaussian_kernel_shape,
                 )
+            trace_mf.__exit__(None, None, None)
         else:
             thresholded = np.zeros_like(I)[..., 1:]
             gaussian_stdev = min_cc_size = np.nan
@@ -191,6 +197,8 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         # bincounts per channel instead of the reference's per-nucleus
         # python loops (reference stat_fish.py:249-275); numbers identical
         # (covered by tests/test_region_stats.py against the loop oracle).
+        trace_rs = stage("stat_fish.region_stats")
+        trace_rs.__enter__()
         cell_labels, areas, centroids = region_stats.cell_geometry(
             labeled_segmented_cells
         )
@@ -221,6 +229,7 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         )
         green_red_blobs = list(gr_counts[cell_labels])
         green_red_pixels = list(gr_px[cell_labels])
+        trace_rs.__exit__(None, None, None)
 
         df = pd.DataFrame()
         df["image_name"] = np.array(names)
