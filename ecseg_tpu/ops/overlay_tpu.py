@@ -1,0 +1,95 @@
+"""meta_overlay statistics ON DEVICE: one fused program per image.
+
+The reference computes its 10 colocalization statistics with repeated
+skimage labelings plus a python loop per component that rescans the whole
+image (reference src/image_tools.py:103-134, meta_overlay.py:70-83) --
+O(#components * H * W) host work.  Here every statistic reduces to the
+Pallas component labeler plus one scatter:
+
+  count_colocalization(a, b) = #roots of label(a) whose component contains
+  a b-pixel -- mark each component's root index from b's pixels (one
+  scatter), then count marked roots (one reduction).
+
+All ten statistics for an image run as ONE jitted device program
+(:func:`overlay_stats_tpu`), so the per-image host<->device round trip is a
+single dispatch.  Counts are exact; the host twins in ops/meta_post.py are
+the parity oracles.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .cc_pallas import label_pallas
+from .morphology_tpu import remove_small_objects_tpu
+
+
+def _label_and_roots(mask):
+    h, w = mask.shape
+    lab = label_pallas(mask, connectivity=2)
+    flat = jnp.where(lab.reshape(-1) < 0, h * w, lab.reshape(-1))
+    flat_idx = jnp.arange(h * w, dtype=jnp.int32)
+    roots = jnp.logical_and(flat == flat_idx, flat < h * w)
+    return flat, roots
+
+
+def count_cc_pair_tpu(mask):
+    """(num_components, foreground px) -- device twin of ops.cc.count_cc."""
+    flat, roots = _label_and_roots(mask)
+    return (
+        jnp.sum(roots, dtype=jnp.int32),
+        jnp.sum(mask.astype(jnp.int32), dtype=jnp.int32),
+    )
+
+
+def count_colocalization_tpu(a, b):
+    """#components of ``a`` containing >= 1 pixel of ``b`` (device twin of
+    ops.meta_post.count_colocalization)."""
+    h, w = a.shape
+    flat, roots = _label_and_roots(a)
+    # scatter: mark the root index of every a-component that b touches
+    marks = jnp.zeros(h * w + 1, bool).at[
+        jnp.where(b.reshape(-1), flat, h * w)
+    ].set(True)
+    return jnp.sum(jnp.logical_and(roots, marks[: h * w]), dtype=jnp.int32)
+
+
+def count_HSR_tpu(chrom, fish, hsr_size_threshold):
+    """Chromosome components overlapping size-filtered FISH (device twin of
+    ops.meta_post.count_HSR; the size filter uses skimage's default
+    4-connectivity, matching the host remove_small_objects default)."""
+    fish_big = remove_small_objects_tpu(fish, hsr_size_threshold, connectivity=1)
+    return count_colocalization_tpu(chrom, fish_big)
+
+
+@jax.jit
+def overlay_stats_tpu(red, green, nuclei, chrom, ec, hsr_size_threshold=20):
+    """All ten meta_overlay statistics in one device program
+    (reference meta_overlay.py:68-83 dataflow, identical values).
+
+    Returns a dict of int32 scalars/pairs keyed like the host variables.
+    """
+    red = red.astype(bool)
+    green = green.astype(bool)
+    fish = jnp.logical_and(green, ~nuclei.astype(bool))
+    fish2 = jnp.logical_and(red, ~nuclei.astype(bool))
+    nc = ~chrom.astype(bool)
+    fish_nc = jnp.logical_and(fish, nc)
+    fish2_nc = jnp.logical_and(fish2, nc)
+    ec = ec.astype(bool)
+    chrom = chrom.astype(bool)
+
+    return {
+        "num_ecDNA": count_cc_pair_tpu(ec),
+        "num_FISH": count_cc_pair_tpu(fish_nc),
+        "num_ecDNA_FISH": count_colocalization_tpu(ec, fish),
+        "num_HSR": count_HSR_tpu(chrom, fish, hsr_size_threshold),
+        "num_FISH2": count_cc_pair_tpu(fish2_nc),
+        "num_FISH_FISH2": count_colocalization_tpu(fish_nc, fish2_nc),
+        "num_ecDNA_FISH2": count_colocalization_tpu(ec, fish2),
+        "num_ecDNA_FISH_FISH2": count_colocalization_tpu(
+            ec, jnp.logical_and(fish2, fish)
+        ),
+        "num_HSR2": count_HSR_tpu(chrom, fish2, hsr_size_threshold),
+    }

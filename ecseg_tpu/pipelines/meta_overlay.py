@@ -108,19 +108,51 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         fish2 = red
 
         _, nuclei, chrom, ec = read_seg(i)
-        fish = fish * ~nuclei
 
-        num_ecDNA = count_cc(ec)  # (count, px) tuple stored verbatim
-        num_FISH = count_cc(fish * ~chrom)
-        num_ecDNA_FISH = count_colocalization(ec, fish)
-        num_HSR = count_HSR(chrom, fish, HSR_SIZE_THRESHOLD)
+        import jax
 
-        fish2 = fish2 * ~nuclei
-        num_FISH2 = count_cc(fish2 * ~chrom)
-        num_FISH_FISH2 = count_colocalization(fish * ~chrom, fish2 * ~chrom)
-        num_ecDNA_FISH2 = count_colocalization(ec, fish2)
-        num_ecDNA_FISH_FISH2 = count_colocalization(ec, fish2 * fish)
-        num_HSR2 = count_HSR(chrom, fish2, HSR_SIZE_THRESHOLD)
+        if jax.default_backend() == "tpu":
+            # all ten statistics in ONE fused device program (the host path
+            # rescans the image per component -- see ops/overlay_tpu.py)
+            import jax.numpy as jnp
+
+            from ..ops.overlay_tpu import overlay_stats_tpu
+
+            stats = jax.tree.map(
+                int,
+                jax.device_get(
+                    overlay_stats_tpu(
+                        jnp.asarray(red),
+                        jnp.asarray(green),
+                        jnp.asarray(nuclei),
+                        jnp.asarray(chrom),
+                        jnp.asarray(ec),
+                        HSR_SIZE_THRESHOLD,
+                    )
+                ),
+            )
+            num_ecDNA = stats["num_ecDNA"]
+            num_FISH = stats["num_FISH"]
+            num_ecDNA_FISH = stats["num_ecDNA_FISH"]
+            num_HSR = stats["num_HSR"]
+            num_FISH2 = stats["num_FISH2"]
+            num_FISH_FISH2 = stats["num_FISH_FISH2"]
+            num_ecDNA_FISH2 = stats["num_ecDNA_FISH2"]
+            num_ecDNA_FISH_FISH2 = stats["num_ecDNA_FISH_FISH2"]
+            num_HSR2 = stats["num_HSR2"]
+        else:
+            fish = fish * ~nuclei
+            num_ecDNA = count_cc(ec)  # (count, px) tuple stored verbatim
+            num_FISH = count_cc(fish * ~chrom)
+            num_ecDNA_FISH = count_colocalization(ec, fish)
+            num_HSR = count_HSR(chrom, fish, HSR_SIZE_THRESHOLD)
+
+            fish2 = fish2 * ~nuclei
+            num_FISH2 = count_cc(fish2 * ~chrom)
+            num_FISH_FISH2 = count_colocalization(fish * ~chrom, fish2 * ~chrom)
+            num_ecDNA_FISH2 = count_colocalization(ec, fish2)
+            num_ecDNA_FISH_FISH2 = count_colocalization(ec, fish2 * fish)
+            num_HSR2 = count_HSR(chrom, fish2, HSR_SIZE_THRESHOLD)
 
         rows.append(
             {
