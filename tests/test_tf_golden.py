@@ -322,3 +322,74 @@ def test_keras_h5_multi_output_model(rng, tmp_path):
     got1, got2 = km._forward(km.params, xb)
     np.testing.assert_allclose(np.asarray(got1), ref1, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got2), ref2, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_SRC), reason="reference checkout not present"
+)
+def test_rpn_proposal_pipeline_matches_reference_graph(rng):
+    """Full proposal filtering (decode -> zero-area -> top-6000 -> NMS-800 ->
+    clip) vs the reference's own RPNProposal TF graph
+    (reference src/model_layers/rpn_proposal.py:4-187), driven end-to-end
+    from one random RPN feature map through our rpn_forward (itself
+    TF-goldened above)."""
+    import tensorflow.compat.v1 as tf1
+
+    import jax.numpy as jnp
+
+    from ecseg_tpu.models import nuset
+    from ecseg_tpu.models.nuset_infer import _proposal_pass
+    from ecseg_tpu.ops import boxes as box_ops
+
+    sys.path.insert(0, REFERENCE_SRC)
+    try:
+        from model_layers.rpn_proposal import RPNProposal as REF_RPNProposal
+    finally:
+        sys.path.pop(0)
+
+    num_anchors = 21
+    fh, fw = 6, 8
+    H, W = fh * 16, fw * 16
+    params = nuset.init_rpn_params(
+        __import__("jax").random.PRNGKey(3), num_anchors
+    )
+    feat = rng.standard_normal((1, fh, fw, 512)).astype(np.float32) * 0.1
+
+    ref_anchors = box_ops.generate_anchors_reference(
+        16.0, np.array([0.125, 0.25, 0.5, 1, 2, 4, 8]), np.array([0.5, 1, 2])
+    )
+    all_anchors = box_ops.generate_anchors(ref_anchors, 16, (fh, fw))
+
+    pred = nuset.rpn_forward(params, jnp.asarray(feat))
+    cls_prob = np.asarray(pred["rpn_cls_prob"])
+    bbox_pred = np.asarray(pred["rpn_bbox_pred"])
+
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.disable_eager_execution()
+        t_prob = tf1.placeholder(tf.float32, [None, 2])
+        t_bbox = tf1.placeholder(tf.float32, [None, 4])
+        t_anch = tf1.placeholder(tf.float32, [None, 4])
+        t_shape = tf1.placeholder(tf.float32, [2])
+        out = REF_RPNProposal(t_prob, t_bbox, t_anch, t_shape, 0.01)
+        with tf1.Session(graph=graph) as sess:
+            ref = sess.run(
+                out,
+                {
+                    t_prob: cls_prob,
+                    t_bbox: bbox_pred,
+                    t_anch: all_anchors.astype(np.float32),
+                    t_shape: np.array([H, W], np.float32),
+                },
+            )
+
+    proposals, scores, valid = _proposal_pass(
+        params, jnp.asarray(feat), jnp.asarray(all_anchors), (H, W), 0.01
+    )
+    valid = np.asarray(valid)
+    got_p = np.asarray(proposals)[valid]
+    got_s = np.asarray(scores)[valid]
+
+    assert len(got_s) == len(ref["scores"]), (len(got_s), len(ref["scores"]))
+    np.testing.assert_allclose(got_s, ref["scores"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_p, ref["proposals"], rtol=1e-3, atol=1e-3)
