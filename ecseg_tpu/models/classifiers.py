@@ -19,7 +19,6 @@ functional executor.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import conv2d, conv2d_transpose, max_pool
+from .layers import conv2d, conv2d_transpose
 
 # ---------------------------------------------------------------------------
 # npz pytree cache

@@ -25,8 +25,6 @@ squares); ``edt_tpu`` returns float32 distances.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ convolution exists in two twins:
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import numpy as np

@@ -28,7 +28,6 @@ with identical ordering lives in ecseg_tpu/native (used when built).
 
 from __future__ import annotations
 
-import functools
 import hashlib
 from collections import deque
 from typing import List, Optional, Tuple
@@ -36,7 +35,7 @@ from typing import List, Optional, Tuple
 import cv2
 import numpy as np
 
-from .cc import label as cc_label, regionprops, scipy_label
+from .cc import label as cc_label, regionprops
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ from __future__ import annotations
 import functools
 import os
 import sys
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

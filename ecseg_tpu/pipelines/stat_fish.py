@@ -17,7 +17,7 @@ import os
 import shutil
 import subprocess as sp
 import sys
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np
@@ -28,7 +28,7 @@ from ..core.config import Config, load_config, load_stat_fish_params
 from ..models import nuset_infer
 from ..ops import matched_filter as mf
 from ..ops import maxflow
-from ..ops.cc import label as cc_label, regionprops
+from ..ops.cc import label as cc_label
 from ..ops import region_stats
 from ..runtime.trace import stage
 

@@ -13,8 +13,7 @@ all-gather collectives from the shardings, riding ICI.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
