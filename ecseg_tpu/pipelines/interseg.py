@@ -160,9 +160,21 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         na_values=["_"],
     )
 
+    def _decode(path):
+        """Reader-thread stage: raw image + stat_fish segmentation reads."""
+        ps = os.path.split(path)
+        img = imgio.u16_to_u8(imgio.imread_rgb(path))
+        seg_path = os.path.join(
+            ps[0], "annotated", ps[1][:-4], f"{ps[1][:-4]}_segmentation.tif"
+        )
+        seg = imgio.imread_rgb(seg_path)
+        return img, seg
+
+    from ..runtime.batching import prefetch_map
+
     dfs = []
     path_split = None
-    for i in image_paths:
+    for i, (I, segmented_cells) in prefetch_map(_decode, image_paths):
         path_split = os.path.split(i)
         print("Processing image: ", i)
 
@@ -177,14 +189,6 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         )
         quality_pass = quality <= 3
 
-        I = imgio.u16_to_u8(imgio.imread_rgb(i))
-        seg_path = os.path.join(
-            path_split[0],
-            "annotated",
-            path_split[1][:-4],
-            f"{path_split[1][:-4]}_segmentation.tif",
-        )
-        segmented_cells = imgio.imread_rgb(seg_path)
         if segmented_cells.ndim == 3:
             segmented_cells = segmented_cells[..., 0]
 

@@ -109,21 +109,26 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
     image_paths = imgio.get_imgs(inpath)
     first_fish, second_fish, third_fish = "green", "red", "aqua"
 
+    def _decode(path):
+        """Reader-thread stage: BGR decode + u16->u8 (overlaps NuSeT device
+        time for the previous image)."""
+        if path.endswith(".tif"):
+            return imgio.u16_to_u8(imgio.imread_bgr8(path))
+        if path.endswith(".npy"):
+            return imgio.u16_to_u8(np.load(path))
+        raise AssertionError
+
+    from ..runtime.batching import prefetch_map
+
     dfs = []
     path_split = None
-    for i in image_paths:
+    for i, I in prefetch_map(_decode, image_paths):
         path_split = os.path.split(i)
         print("Processing image: ", i)
         img_name = os.path.basename(i)[:-4]
         annotated_path = os.path.join(inpath, output_folder, img_name)
         os.makedirs(annotated_path, exist_ok=True)
 
-        if i.endswith(".tif"):
-            I = imgio.u16_to_u8(imgio.imread_bgr8(i))
-        elif i.endswith(".npy"):
-            I = imgio.u16_to_u8(np.load(i))
-        else:
-            raise AssertionError
         blue = I[:, :, 0]
 
         with stage("stat_fish.nuclei_segment"):
