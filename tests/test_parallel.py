@@ -169,3 +169,35 @@ def test_stitch_labels_host_matches_device(rng):
         )[..., 0]
         host = tiling.stitch_labels_host(labs, pos)
         np.testing.assert_array_equal(host, dev)
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint rematerialization changes memory, not math."""
+    import optax
+
+    from ecseg_tpu.models import metaseg_unet
+    from ecseg_tpu.runtime.train import make_train_step
+
+    params = metaseg_unet.init_params(
+        jax.random.PRNGKey(0), widths=(8, 16), bottleneck=32
+    )
+    opt = optax.adam(1e-3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.random((2, 32, 32, 1)) * 255).astype(np.uint8))
+    y = jnp.asarray((rng.random((2, 32, 32)) * 4).astype(np.int32))
+
+    outs = []
+    for remat in (False, True):
+        p, s = params, opt.init(params)
+        step = jax.jit(make_train_step(opt, remat=remat))
+        p, s, loss = step(p, s, x, y)
+        outs.append((p, float(loss)))
+    (p0, l0), (p1, l1) = outs
+    np.testing.assert_allclose(l0, l1, rtol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        p0,
+        p1,
+    )
