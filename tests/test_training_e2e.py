@@ -1,0 +1,71 @@
+"""Training loop end-to-end: folder data -> mesh train step -> exported npz
+-> picked up by the inference model loader."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _make_training_folder(tmp_path, rng):
+    import cv2
+
+    (tmp_path / "labels").mkdir()
+    for k in range(2):
+        img = (rng.random((300, 330)) * 4000).astype(np.uint16)
+        img[60:200, 80:260] = 52000
+        assert cv2.imwrite(str(tmp_path / f"t{k}.tif"), img)
+        lab = np.zeros((300, 330), np.int64)
+        lab[60:200, 80:260] = 1
+        np.save(str(tmp_path / "labels" / f"t{k}.npy"), lab)
+
+
+def test_data_pipeline_shapes_and_determinism(tmp_path, rng):
+    from ecseg_tpu.runtime.data import crop_batches, load_training_pairs
+
+    _make_training_folder(tmp_path, rng)
+    pairs = load_training_pairs(str(tmp_path))
+    assert len(pairs) == 2
+    a = list(crop_batches(pairs, 4, 3, seed=7))
+    b = list(crop_batches(pairs, 4, 3, seed=7))
+    assert len(a) == 3
+    for (xa, ya), (xb, yb) in zip(a, b):
+        assert xa.shape == (4, 256, 256, 1) and xa.dtype == np.uint8
+        assert ya.shape == (4, 256, 256) and ya.dtype == np.int32
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
+def test_train_script_end_to_end(tmp_path, rng):
+    """Run the real training driver on a tiny folder and load the exported
+    weights through the inference loader."""
+    _make_training_folder(tmp_path, rng)
+    out_npz = tmp_path / "models" / "metaseg.npz"
+    out_npz.parent.mkdir()
+    cmd = [
+        sys.executable,
+        "scripts/train_metaseg.py",
+        "--inpath", str(tmp_path),
+        "--steps", "3",
+        "--batch", "8",
+        "--widths", "8", "16",
+        "--bottleneck", "32",
+        "--ckpt-every", "2",
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+        "--out", str(out_npz),
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert out_npz.exists()
+    assert (tmp_path / "ckpt").is_dir() and list((tmp_path / "ckpt").iterdir())
+
+    # the inference loader picks the npz up
+    from ecseg_tpu.pipelines.metaseg import load_model, meta_segment
+
+    params, fwd = load_model(str(out_npz.parent))
+    seg = meta_segment((params, fwd), str(tmp_path / "t0.tif"), save_dapi=False)
+    assert seg.shape == (300, 330)
+    assert set(np.unique(seg)) <= {0, 1, 2, 3}
