@@ -94,3 +94,22 @@ def test_metaseg_main_end_to_end(synthetic_folder):
 def test_metaseg_main_missing_folder():
     cfg = Config(raw={"metaseg": {"inpath": "/nonexistent/nope"}})
     assert metaseg.main(config=cfg) == 2
+
+
+def test_u16_to_u8_matches_cv2_convertScaleAbs():
+    """Golden vs the reference's actual conversion
+    (cv2.convertScaleAbs(img, alpha=255/65535), reference image_tools.py:98-101)."""
+    import cv2
+
+    from ecseg_tpu.core import imgio
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 80)) * 65535).astype(np.uint16)
+    # include the rounding boundary values explicitly
+    img[0, :16] = np.linspace(0, 65535, 16).astype(np.uint16)
+    ref = cv2.convertScaleAbs(img, alpha=255.0 / 65535.0)
+    np.testing.assert_array_equal(imgio.u16_to_u8(img), ref)
+
+    rgb = (rng.random((32, 32, 3)) * 65535).astype(np.uint16)
+    ref3 = cv2.convertScaleAbs(rgb, alpha=255.0 / 65535.0)
+    np.testing.assert_array_equal(imgio.u16_to_u8(rgb), ref3)
