@@ -75,7 +75,20 @@ def synthetic_folder(tmp_path, rng):
     return str(d)
 
 
-def test_metaseg_main_end_to_end(synthetic_folder):
+def test_metaseg_main_end_to_end(synthetic_folder, monkeypatch):
+    # tiny architecture: the default (32..256-wide) U-Net costs ~14 min of
+    # CPU compile+compute and adds no coverage here -- the full-size forward
+    # is exercised by bench.py on the real chip
+    import jax
+
+    from ecseg_tpu.models import metaseg_unet
+
+    tiny = metaseg_unet.init_params(
+        jax.random.PRNGKey(0), widths=(8, 16), bottleneck=32
+    )
+    monkeypatch.setattr(
+        metaseg, "load_model", lambda *a, **k: (tiny, metaseg._default_forward)
+    )
     cfg = Config(raw={"metaseg": {"inpath": synthetic_folder}})
     rc = metaseg.main(config=cfg)
     assert rc == 0
