@@ -112,10 +112,17 @@ class Region:
         return (sy.start, sx.start, sy.stop, sx.stop)
 
     @property
-    def centroid(self) -> Tuple[float, float]:
+    def centroid(self) -> Tuple[np.float64, np.float64]:
+        # numpy scalars, not python floats: skimage returns numpy scalars
+        # and the reference's metaphase heuristic depends on the reflected
+        # comparison `list > np.float64` broadcasting
+        # (reference src/image_tools.py:75-78)
         ys, xs = np.nonzero(self._mask)
         sy, sx = self.slice
-        return (float(ys.mean() + sy.start), float(xs.mean() + sx.start))
+        return (
+            np.float64(ys.mean() + sy.start),
+            np.float64(xs.mean() + sx.start),
+        )
 
     @property
     def coords(self) -> np.ndarray:

@@ -1,0 +1,193 @@
+"""Control-flow goldens: execute the REFERENCE's own python code.
+
+scikit-image is not installable here, but every skimage primitive the
+reference uses has an already-pinned twin in this framework (labeling,
+regionprops, morphology, watershed -- each cross-checked against
+scipy/cv2/analytic oracles elsewhere in the suite).  So we install a fake
+``skimage`` package backed by those twins and IMPORT THE REFERENCE MODULES
+THEMSELVES (/root/reference/src), then diff their outputs against ours on
+random inputs.
+
+What this pins that unit tests cannot: the reference's sequential,
+data-dependent CONTROL FLOW -- meta_inference's ordered relabeling passes
+(reference src/image_tools.py:15-84), the overlap stitcher's branchy rim
+copies (:188-252), and marker_watershed's marker-placement protocol
+(src/model_layers/marker_watershed.py:9-96) -- executed genuinely, against
+our reimplementations, to bit-exact equality.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE_SRC = "/root/reference/src"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_SRC), reason="reference checkout not present"
+)
+
+
+@pytest.fixture
+def reference_modules():
+    """Import reference modules with a fake skimage backed by our twins."""
+    os.environ.setdefault("MPLBACKEND", "Agg")
+
+    from ecseg_tpu.ops import cc as cc_ops
+    from ecseg_tpu.ops import morphology as morph_ops
+    from ecseg_tpu.ops import watershed as ws_ops
+
+    saved = {
+        name: sys.modules.get(name)
+        for name in list(sys.modules)
+        if name == "skimage" or name.startswith("skimage.")
+    }
+
+    skimage = types.ModuleType("skimage")
+    measure = types.ModuleType("skimage.measure")
+    measure.label = cc_ops.label
+    measure.regionprops = cc_ops.regionprops
+    morphology = types.ModuleType("skimage.morphology")
+    morphology.label = cc_ops.label  # old skimage alias the reference uses
+    for sym in (
+        "diamond",
+        "disk",
+        "opening",
+        "dilation",
+        "binary_dilation",
+        "binary_erosion",
+        "binary_opening",
+        "remove_small_objects",
+        "remove_small_holes",
+    ):
+        setattr(morphology, sym, getattr(morph_ops, sym))
+    segmentation = types.ModuleType("skimage.segmentation")
+    segmentation.watershed = ws_ops.watershed
+    io_mod = types.ModuleType("skimage.io")
+    color = types.ModuleType("skimage.color")
+    filters = types.ModuleType("skimage.filters")
+    rank = types.ModuleType("skimage.filters.rank")
+    filters.rank = rank
+    for mod in (measure, morphology, segmentation, io_mod, color, filters):
+        mod.__all__ = [n for n in vars(mod) if not n.startswith("_")]
+    skimage.measure = measure
+    skimage.morphology = morphology
+    skimage.segmentation = segmentation
+    skimage.io = io_mod
+    skimage.color = color
+    skimage.filters = filters
+
+    injected = {
+        "skimage": skimage,
+        "skimage.measure": measure,
+        "skimage.morphology": morphology,
+        "skimage.segmentation": segmentation,
+        "skimage.io": io_mod,
+        "skimage.color": color,
+        "skimage.filters": filters,
+        "skimage.filters.rank": rank,
+    }
+    sys.modules.update(injected)
+    sys.path.insert(0, REFERENCE_SRC)
+    ref_cache = [
+        n for n in list(sys.modules) if n in ("image_tools", "model_layers")
+        or n.startswith("model_layers.")
+    ]
+    for n in ref_cache:
+        del sys.modules[n]
+    try:
+        import image_tools as ref_image_tools
+        from model_layers import marker_watershed as ref_marker_watershed
+
+        yield ref_image_tools, ref_marker_watershed
+    finally:
+        sys.path.remove(REFERENCE_SRC)
+        for n in list(sys.modules):
+            if (
+                n in injected
+                or n in ("image_tools",)
+                or n.startswith("model_layers")
+            ):
+                del sys.modules[n]
+        for name, mod in saved.items():
+            if mod is not None:
+                sys.modules[name] = mod
+
+
+def _random_label_map(rng, shape=(180, 220)):
+    img = np.zeros(shape, np.int64)
+    for lab, n, rmax in [(1, 4, 28), (2, 14, 9), (3, 25, 4)]:
+        for _ in range(n):
+            y, x = rng.integers(0, shape[0] - 4), rng.integers(0, shape[1] - 4)
+            r = int(rng.integers(2, rmax))
+            img[y : y + r, x : x + r] = lab
+    return img
+
+
+def test_meta_inference_matches_reference_code(reference_modules, rng):
+    ref_image_tools, _ = reference_modules
+    from ecseg_tpu.ops.meta_post import meta_inference
+
+    for _ in range(3):
+        img = _random_label_map(rng)
+        want = ref_image_tools.meta_inference(img.copy())
+        got = meta_inference(img.copy())
+        np.testing.assert_array_equal(got, want)
+
+
+def test_counting_helpers_match_reference_code(reference_modules, rng):
+    ref_image_tools, _ = reference_modules
+    from ecseg_tpu.ops.cc import count_cc
+    from ecseg_tpu.ops.meta_post import count_HSR, count_colocalization
+
+    a = rng.random((120, 150)) < 0.2
+    b = rng.random((120, 150)) < 0.2
+    assert tuple(count_cc(a)) == tuple(ref_image_tools.count_cc(a))
+    assert count_colocalization(a, b) == ref_image_tools.count_colocalization(a, b)
+    assert count_HSR(a, b, 20) == ref_image_tools.count_HSR(a, b, 20)
+
+
+def test_overlap_tiling_matches_reference_code(reference_modules, rng):
+    ref_image_tools, _ = reference_modules
+    from ecseg_tpu.ops import tiling
+
+    for h, w in [(462, 874), (512, 700), (306, 306)]:
+        img = rng.random((h, w, 1))
+        _, ref_patches, ref_pos = ref_image_tools.im2patches_overlap(
+            img.copy(), 25, 256
+        )
+        _, got_patches, got_pos = tiling.im2patches_overlap(img.copy())
+        assert [tuple(p) for p in ref_pos] == [tuple(p) for p in got_pos]
+        np.testing.assert_array_equal(np.asarray(ref_patches), got_patches)
+
+        preds = rng.random((len(got_pos), 256, 256, 4))
+        want = ref_image_tools.patches2im_overlap([p for p in preds], ref_pos, 25, 256)
+        got = tiling.patches2im_overlap(preds, got_pos)
+        np.testing.assert_array_equal(np.asarray(want), got)
+
+
+def test_marker_watershed_matches_reference_code(reference_modules, rng):
+    """Pins the reference's marker-placement PROTOCOL (score ordering, edge
+    band, fallback region markers, all-ones fallback) executed genuinely;
+    both sides flood through our watershed primitive, whose own ordering
+    semantics are covered in test_watershed/test_native."""
+    _, ref_mw = reference_modules
+    from ecseg_tpu.ops.watershed import nuset_marker_watershed
+
+    for trial in range(3):
+        mask = np.zeros((140, 160), np.float32)
+        boxes = []
+        for _ in range(5):
+            cy, cx = rng.integers(25, 115), rng.integers(25, 135)
+            r = int(rng.integers(10, 18))
+            yy, xx = np.ogrid[:140, :160]
+            mask[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 1.0
+            boxes.append([cx - r, cy - r, cx + r, cy + r])
+        proposals = np.asarray(boxes, np.float32)
+        scores = rng.random(len(boxes)).astype(np.float32) * 0.06 + 0.93
+
+        want = ref_mw._watershed(scores, proposals, mask.copy(), min_score=0.95)
+        got = nuset_marker_watershed(scores, proposals, mask.copy(), min_score=0.95)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
