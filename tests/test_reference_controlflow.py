@@ -37,6 +37,7 @@ def reference_modules():
 
     from ecseg_tpu.ops import cc as cc_ops
     from ecseg_tpu.ops import morphology as morph_ops
+    from ecseg_tpu.ops import resize as resize_ops
     from ecseg_tpu.ops import watershed as ws_ops
 
     saved = {
@@ -49,6 +50,11 @@ def reference_modules():
     measure = types.ModuleType("skimage.measure")
     measure.label = cc_ops.label
     measure.regionprops = cc_ops.regionprops
+
+    def _unused_stub(*a, **k):  # imported by the reference, never called
+        raise NotImplementedError("stubbed skimage symbol was called")
+
+    measure.find_contours = _unused_stub
     morphology = types.ModuleType("skimage.morphology")
     morphology.label = cc_ops.label  # old skimage alias the reference uses
     for sym in (
@@ -65,25 +71,34 @@ def reference_modules():
         setattr(morphology, sym, getattr(morph_ops, sym))
     segmentation = types.ModuleType("skimage.segmentation")
     segmentation.watershed = ws_ops.watershed
+    transform = types.ModuleType("skimage.transform")
+    transform.resize = resize_ops.resize
+    transform.rescale = resize_ops.rescale
     io_mod = types.ModuleType("skimage.io")
     color = types.ModuleType("skimage.color")
     filters = types.ModuleType("skimage.filters")
     rank = types.ModuleType("skimage.filters.rank")
     filters.rank = rank
-    for mod in (measure, morphology, segmentation, io_mod, color, filters):
+    for mod in (measure, morphology, segmentation, transform, io_mod, color, filters):
         mod.__all__ = [n for n in vars(mod) if not n.startswith("_")]
     skimage.measure = measure
     skimage.morphology = morphology
     skimage.segmentation = segmentation
+    skimage.transform = transform
     skimage.io = io_mod
     skimage.color = color
     skimage.filters = filters
+    from ecseg_tpu.ops.tiling import img_as_ubyte_float
+
+    skimage.img_as_ubyte = img_as_ubyte_float
+    skimage.__all__ = ["measure", "morphology", "segmentation", "img_as_ubyte"]
 
     injected = {
         "skimage": skimage,
         "skimage.measure": measure,
         "skimage.morphology": morphology,
         "skimage.segmentation": segmentation,
+        "skimage.transform": transform,
         "skimage.io": io_mod,
         "skimage.color": color,
         "skimage.filters": filters,
@@ -92,23 +107,31 @@ def reference_modules():
     sys.modules.update(injected)
     sys.path.insert(0, REFERENCE_SRC)
     ref_cache = [
-        n for n in list(sys.modules) if n in ("image_tools", "model_layers")
-        or n.startswith("model_layers.")
+        n
+        for n in list(sys.modules)
+        if n in ("image_tools", "model_layers", "max_flow_binary_mask", "utils")
+        or n.startswith(("model_layers.", "nuset_utils"))
     ]
     for n in ref_cache:
         del sys.modules[n]
     try:
+        os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
         import image_tools as ref_image_tools
         from model_layers import marker_watershed as ref_marker_watershed
+        import max_flow_binary_mask as ref_maxflow
 
-        yield ref_image_tools, ref_marker_watershed
+        yield {
+            "image_tools": ref_image_tools,
+            "marker_watershed": ref_marker_watershed,
+            "max_flow_binary_mask": ref_maxflow,
+        }
     finally:
         sys.path.remove(REFERENCE_SRC)
         for n in list(sys.modules):
             if (
                 n in injected
-                or n in ("image_tools",)
-                or n.startswith("model_layers")
+                or n in ("image_tools", "max_flow_binary_mask", "utils")
+                or n.startswith(("model_layers", "nuset_utils"))
             ):
                 del sys.modules[n]
         for name, mod in saved.items():
@@ -127,7 +150,7 @@ def _random_label_map(rng, shape=(180, 220)):
 
 
 def test_meta_inference_matches_reference_code(reference_modules, rng):
-    ref_image_tools, _ = reference_modules
+    ref_image_tools = reference_modules["image_tools"]
     from ecseg_tpu.ops.meta_post import meta_inference
 
     for _ in range(3):
@@ -138,7 +161,7 @@ def test_meta_inference_matches_reference_code(reference_modules, rng):
 
 
 def test_counting_helpers_match_reference_code(reference_modules, rng):
-    ref_image_tools, _ = reference_modules
+    ref_image_tools = reference_modules["image_tools"]
     from ecseg_tpu.ops.cc import count_cc
     from ecseg_tpu.ops.meta_post import count_HSR, count_colocalization
 
@@ -150,7 +173,7 @@ def test_counting_helpers_match_reference_code(reference_modules, rng):
 
 
 def test_overlap_tiling_matches_reference_code(reference_modules, rng):
-    ref_image_tools, _ = reference_modules
+    ref_image_tools = reference_modules["image_tools"]
     from ecseg_tpu.ops import tiling
 
     for h, w in [(462, 874), (512, 700), (306, 306)]:
@@ -173,7 +196,7 @@ def test_marker_watershed_matches_reference_code(reference_modules, rng):
     band, fallback region markers, all-ones fallback) executed genuinely;
     both sides flood through our watershed primitive, whose own ordering
     semantics are covered in test_watershed/test_native."""
-    _, ref_mw = reference_modules
+    ref_mw = reference_modules["marker_watershed"]
     from ecseg_tpu.ops.watershed import nuset_marker_watershed
 
     for trial in range(3):
@@ -191,3 +214,36 @@ def test_marker_watershed_matches_reference_code(reference_modules, rng):
         want = ref_mw._watershed(scores, proposals, mask.copy(), min_score=0.95)
         got = nuset_marker_watershed(scores, proposals, mask.copy(), min_score=0.95)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_min_cut_matches_reference_code(reference_modules, rng):
+    """The full min-cut instance-splitting protocol executed from the
+    reference's own max_flow_binary_mask.py (seeded center snapping,
+    tf-conv local-max detection, recursive Edmonds-Karp split, min_size
+    merge-back, blake2b visualization colors) vs ours, bit-exact."""
+    ref_maxflow = reference_modules["max_flow_binary_mask"]
+    from ecseg_tpu.ops import maxflow
+
+    for trial in range(2):
+        mask = np.zeros((110, 130), np.uint8)
+        # touching blob pairs so the splitter actually engages
+        for cy, cx, r in [(40, 40, 17), (40, 66, 15), (75, 95, 13), (88, 82, 12)]:
+            yy, xx = np.ogrid[:110, :130]
+            mask[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 255
+        # one small lone nucleus (below the split threshold)
+        mask[15:27, 100:112] = 255
+
+        # the reference's driver wraps everything in a graph scope
+        # (reference stat_fish.py:195); its eager-incompatible
+        # tensor.eval(session=...) calls need the same context here
+        import tensorflow.compat.v1 as tf1
+
+        with tf1.Graph().as_default():
+            want_lab, want_vis = ref_maxflow.binary_seg_to_instance_min_cut(
+                mask.copy(), flow_limit=60, cell_size_threshold_coeff=1.25
+            )
+        got_lab, got_vis = maxflow.binary_seg_to_instance_min_cut(
+            mask.copy(), 60, 1.25
+        )
+        np.testing.assert_array_equal(np.asarray(got_lab), np.asarray(want_lab))
+        np.testing.assert_array_equal(np.asarray(got_vis), np.asarray(want_vis))
