@@ -120,17 +120,39 @@ def reference_modules():
         from model_layers import marker_watershed as ref_marker_watershed
         import max_flow_binary_mask as ref_maxflow
 
+        # stat_fish reads config.yaml + src/stat_fish_params.yaml from the
+        # cwd AT IMPORT TIME (reference stat_fish.py:4-7); stage both in a
+        # temp cwd for the import
+        import shutil
+        import tempfile
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tmpd = tempfile.mkdtemp()
+        os.makedirs(os.path.join(tmpd, "src"))
+        shutil.copy(os.path.join(repo, "config.yaml"), tmpd)
+        shutil.copy(
+            os.path.join(repo, "ecseg_tpu", "stat_fish_params.yaml"),
+            os.path.join(tmpd, "src", "stat_fish_params.yaml"),
+        )
+        cwd = os.getcwd()
+        os.chdir(tmpd)
+        try:
+            import stat_fish as ref_stat_fish
+        finally:
+            os.chdir(cwd)
+
         yield {
             "image_tools": ref_image_tools,
             "marker_watershed": ref_marker_watershed,
             "max_flow_binary_mask": ref_maxflow,
+            "stat_fish": ref_stat_fish,
         }
     finally:
         sys.path.remove(REFERENCE_SRC)
         for n in list(sys.modules):
             if (
                 n in injected
-                or n in ("image_tools", "max_flow_binary_mask", "utils")
+                or n in ("image_tools", "max_flow_binary_mask", "utils", "stat_fish")
                 or n.startswith(("model_layers", "nuset_utils"))
             ):
                 del sys.modules[n]
@@ -247,3 +269,72 @@ def test_min_cut_matches_reference_code(reference_modules, rng):
         )
         np.testing.assert_array_equal(np.asarray(got_lab), np.asarray(want_lab))
         np.testing.assert_array_equal(np.asarray(got_vis), np.asarray(want_vis))
+
+
+def test_stat_fish_helpers_match_reference_code(reference_modules, rng):
+    """The LSQ detector helpers executed from the reference's own stat_fish
+    module (kernel construction, tf-conv thresholding, boundaries, blob
+    counting with in-place deletion, scale, channel merge) vs ours."""
+    ref_sf = reference_modules["stat_fish"]
+    from ecseg_tpu.ops import matched_filter as mf
+    from ecseg_tpu.ops.cc import label as cc_label
+
+    # kernel construction
+    for shape, sigma in [((7, 7), 3.0), ((9, 5), 1.5), ((21, 21), 7.0)]:
+        np.testing.assert_allclose(
+            mf.scipy_sampled_gaussian_kernel(np.array(shape), sigma),
+            ref_sf.scipy_sampled_gaussian_kernel(np.array(shape), sigma),
+            rtol=1e-12,
+        )
+        want = np.asarray(ref_sf.get_gaussian_proj_kernel(np.array(shape), sigma))
+        got = mf.get_gaussian_proj_kernel(np.array(shape), sigma)
+        np.testing.assert_allclose(got, want.reshape(got.shape), rtol=1e-12)
+
+    # full thresholding (the reference evaluates its conv through a
+    # throwaway v1 session; needs the driver's graph scope)
+    import tensorflow.compat.v1 as tf1
+
+    I = (rng.random((80, 96, 3)) * 255).astype(np.uint8)
+    cells = ((rng.random((80, 96)) < 0.4) * 255).astype(np.uint8)
+    with tf1.Graph().as_default():
+        want = ref_sf.get_thresholded(I, cells, 1.5, 15.0, [70, 70], [7, 7])
+    got = mf.get_thresholded(I, cells, 1.5, 15.0, [70, 70], [7, 7])
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+    # boundaries
+    seg = cc_label(rng.random((60, 70)) < 0.3)
+    with tf1.Graph().as_default():
+        want_b = ref_sf.get_boundaries(seg, line_thickness=2)
+    np.testing.assert_array_equal(
+        mf.get_boundaries(seg, line_thickness=2), np.asarray(want_b)
+    )
+
+    # count_blobs: count AND in-place deletion of sub-threshold blobs
+    fish_w = (((rng.random((50, 60)) < 0.25)) * 255).astype(np.int64)
+    fish_g = fish_w.copy()
+    cell_seg = (rng.random((50, 60)) < 0.7).astype(int)
+    want_n = ref_sf.count_blobs(fish_w, cell_seg, 4)
+    got_n = mf.count_blobs(fish_g, cell_seg, 4)
+    assert got_n == want_n
+    np.testing.assert_array_equal(fish_g, fish_w)
+
+    # get_scale
+    lab = cc_label(rng.random((64, 64)) < 0.3)
+    assert np.isclose(mf.get_scale(lab, 2500), ref_sf.get_scale(lab, 2500))
+
+    # merge_channels is deliberately NOT diffed against the reference code
+    # executed here: the reference multiplies a raw uint8 channel by an int
+    # coefficient (stat_fish.py:114), which promoted to int64 under the
+    # numpy 1.x it shipped with but WRAPS under this environment's numpy 2,
+    # changing the reference's own output.  Ours reproduces the original
+    # numpy-1.x behavior; pin that explicitly:
+    img4 = (rng.random((32, 32, 4)) * 255).astype(np.uint8)
+    aqua = img4[..., -1].astype(np.int64)
+    expect = np.minimum(
+        img4[..., :-1]
+        + np.dstack([c * aqua / 255 for c in [233, 137, 54][::-1]]),
+        255,
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(
+        mf.merge_channels(img4.copy(), [233, 137, 54]), expect
+    )
