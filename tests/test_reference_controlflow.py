@@ -338,3 +338,106 @@ def test_stat_fish_helpers_match_reference_code(reference_modules, rng):
     np.testing.assert_array_equal(
         mf.merge_channels(img4.copy(), [233, 137, 54]), expect
     )
+
+
+def test_full_nuclei_segment_protocol_matches_reference(
+    reference_modules, rng, tmp_path
+):
+    """The COMPLETE stat_fish segmentation protocol executed by the
+    reference's own utils.load_nuset + nuclei_segment (two TF sessions over
+    its graph with the anchor-size and marker-watershed py_funcs) vs our
+    nuset_infer.nuclei_segment, with IDENTICAL weights shipped through
+    scripts/convert_tf1_ckpt.py.  Pins the 0.3x rescale, /16 crop, both
+    normalizations, session sequencing, watershed protocol, clean_image,
+    rescale-back, binarization, and the size filter end-to-end."""
+    import tensorflow.compat.v1 as tf1
+
+    ref_utils = sys.modules["utils"]
+
+    # --- stage checkpoints from the reference's own graph builders --------
+    sys.path.insert(0, REFERENCE_SRC)
+    try:
+        from model_layers.models import UNET as REF_UNET
+        from model_layers.model_RPN import RPN as REF_RPN
+    finally:
+        sys.path.pop(0)
+
+    ckpt_dir = tmp_path / "models" / "nuset"
+    ckpt_dir.mkdir(parents=True)
+    graph = tf1.Graph()
+    with graph.as_default():
+        inp = tf1.placeholder(np.float32, [1, None, None, 1])
+        with tf1.variable_scope("model_U-Net"):
+            REF_UNET(2, inp)
+        with tf1.variable_scope("model_RPN"):
+            REF_RPN(
+                tf1.placeholder(np.float32, [1, None, None, 512]), 21
+            )
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, str(ckpt_dir / "whole_norm.ckpt"))
+            saver.save(sess, str(ckpt_dir / "foreground.ckpt"))
+
+    # --- reference protocol, in a cwd where ./models/nuset/* resolves -----
+    image = (rng.random((400, 430)) * 50).astype(np.float64)
+    for cy, cx, r in [(120, 110, 55), (250, 300, 62), (320, 120, 48)]:
+        yy, xx = np.ogrid[:400, :430]
+        image[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 220.0
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with tf1.Graph().as_default():
+            (
+                sess1,
+                sess2,
+                pred_masks,
+                train_initial,
+                pred_masks_watershed,
+                resize_scale,
+            ) = ref_utils.load_nuset(0.95, 0.01, 0.3)
+            want = ref_utils.nuclei_segment(
+                image.copy(),
+                resize_scale,
+                sess1,
+                sess2,
+                pred_masks,
+                train_initial,
+                pred_masks_watershed,
+                100,
+            )
+            sess1.close()
+            sess2.close()
+    finally:
+        os.chdir(cwd)
+
+    # --- ours: same weights through the converter --------------------------
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from convert_tf1_ckpt import convert
+    finally:
+        sys.path.pop(0)
+    npz = str(tmp_path / "nuset.npz")
+    convert(str(ckpt_dir), npz)
+
+    from ecseg_tpu.models import nuset_infer
+    from ecseg_tpu.models.keras_import import load_npz_pytree
+
+    tree = load_npz_pytree(npz)
+    model = nuset_infer.NuSeTModel(
+        unet_whole=tree["whole"],
+        unet_fg=tree["fg"]["unet"],
+        rpn_fg=tree["fg"]["rpn"],
+        nms_threshold=0.01,
+        bbox_min_score=0.95,
+        resize_scale=0.3,
+    )
+    got = nuset_infer.nuclei_segment(image.copy(), model, 100)
+
+    assert got.shape == np.asarray(want).shape
+    agreement = (got == np.asarray(want)).mean()
+    # fp32 conv epsilon between TF and XLA can flip individual argmax
+    # pixels at decision boundaries; the protocol itself is pinned by
+    # near-total agreement
+    assert agreement >= 0.995, f"pixel agreement {agreement:.4f}"
