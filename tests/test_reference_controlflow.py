@@ -138,6 +138,7 @@ def reference_modules():
         os.chdir(tmpd)
         try:
             import stat_fish as ref_stat_fish
+            import interseg as ref_interseg
         finally:
             os.chdir(cwd)
 
@@ -146,13 +147,20 @@ def reference_modules():
             "marker_watershed": ref_marker_watershed,
             "max_flow_binary_mask": ref_maxflow,
             "stat_fish": ref_stat_fish,
+            "interseg": ref_interseg,
         }
     finally:
         sys.path.remove(REFERENCE_SRC)
         for n in list(sys.modules):
             if (
                 n in injected
-                or n in ("image_tools", "max_flow_binary_mask", "utils", "stat_fish")
+                or n in (
+                    "image_tools",
+                    "max_flow_binary_mask",
+                    "utils",
+                    "stat_fish",
+                    "interseg",
+                )
                 or n.startswith(("model_layers", "nuset_utils"))
             ):
                 del sys.modules[n]
@@ -441,3 +449,19 @@ def test_full_nuclei_segment_protocol_matches_reference(
     # pixels at decision boundaries; the protocol itself is pinned by
     # near-total agreement
     assert agreement >= 0.995, f"pixel agreement {agreement:.4f}"
+
+
+def test_interseg_grid_tiler_matches_reference_code(reference_modules, rng):
+    """interseg's LOCAL grid tiler (a different function from image_tools'
+    overlap tiler despite the shared name, reference src/interseg.py:27-47)
+    executed from the reference module vs ours."""
+    ref_interseg = reference_modules["interseg"]
+    from ecseg_tpu.pipelines.interseg import im2patches_grid
+
+    for h, w in [(300, 520), (256, 256), (120, 600), (90, 130), (513, 257)]:
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        want = ref_interseg.im2patches_overlap(img.copy())
+        got = im2patches_grid(img.copy())
+        assert len(got) == len(want)
+        for g, ww in zip(got, want):
+            np.testing.assert_array_equal(g, np.asarray(ww))
