@@ -286,6 +286,12 @@ def _make_layer_fn(lc, name, h5, params):
         return lambda p, xs: xs[0] * scale + offset
     if cls == "Flatten":
         return lambda p, xs: xs[0].reshape(xs[0].shape[0], -1)
+    if cls == "Reshape":
+        target = tuple(c["target_shape"])
+        return lambda p, xs: xs[0].reshape((xs[0].shape[0],) + target)
+    if cls == "Permute":
+        dims = tuple(c["dims"])  # 1-indexed, excluding batch
+        return lambda p, xs: jnp.transpose(xs[0], (0,) + dims)
     if cls == "GlobalAveragePooling2D":
         return lambda p, xs: jnp.mean(xs[0], axis=(1, 2))
     if cls == "Concatenate":

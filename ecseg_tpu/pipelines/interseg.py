@@ -86,25 +86,38 @@ def im2patches_grid(img: np.ndarray, overlap: int = 75, scw: int = 256):
 
 
 def load_classifier_models(has_centromeric_probe: bool, model_dir: str = "interseg_models"):
-    """Converted weights if present, seeded random defaults otherwise."""
+    """Resolve each classifier, in priority order (mirrors metaseg's loader):
+
+    1. ``<model_dir>/<name>.h5``  -- the reference SavedModel converted once
+       with scripts/convert_savedmodel.py, executed through the keras_import
+       graph reconstructor (architecture from the checkpoint itself);
+    2. ``<model_dir>/<name>.npz`` -- cached converted pytree for the default
+       architecture;
+    3. seeded random default architecture (development).
+
+    Returns (i_params_or_model, c_params_or_model); a KerasModel is returned
+    for H5 sources and a params pytree otherwise -- the prediction wrappers
+    in :func:`main` accept both.
+    """
     import jax
 
     from ..models import classifiers
-    from ..models.keras_import import load_npz_pytree
+    from ..models.keras_import import import_keras_h5, load_npz_pytree
 
-    i_npz = os.path.join(model_dir, "interseg.npz")
-    if os.path.exists(i_npz):
-        i_params = load_npz_pytree(i_npz)
-    else:
-        i_params = classifiers.init_ecseg_i_params(jax.random.PRNGKey(1))
-    c_params = None
+    def resolve(name, default_init, key):
+        h5 = os.path.join(model_dir, f"{name}.h5")
+        if os.path.exists(h5):
+            return import_keras_h5(h5)
+        npz = os.path.join(model_dir, f"{name}.npz")
+        if os.path.exists(npz):
+            return load_npz_pytree(npz)
+        return default_init(jax.random.PRNGKey(key))
+
+    i_model = resolve(ECSEG_I_MODEL, classifiers.init_ecseg_i_params, 1)
+    c_model = None
     if has_centromeric_probe:
-        c_npz = os.path.join(model_dir, "ecseg_c.npz")
-        if os.path.exists(c_npz):
-            c_params = load_npz_pytree(c_npz)
-        else:
-            c_params = classifiers.init_ecseg_c_params(jax.random.PRNGKey(2))
-    return i_params, c_params
+        c_model = resolve(ECSEG_C_MODEL, classifiers.init_ecseg_c_params, 2)
+    return i_model, c_model
 
 
 def main(argv=None, config: Optional[Config] = None) -> int:
@@ -146,13 +159,26 @@ def main(argv=None, config: Optional[Config] = None) -> int:
             )
         return batch, n
 
-    def predict_i_batch(patches):  # (N,256,256) uint8 target-FISH channel
-        padded, n = _pad8(patches)
-        return np.asarray(classifiers.ecseg_i_forward(ecseg_i_params, padded))[:n]
+    from ..models.keras_import import KerasModel
 
-    def predict_c_batch(patches):  # (N,256,256,3) preprocessed
-        padded, n = _pad8(patches)
-        return np.asarray(classifiers.ecseg_c_forward(ecseg_c_params, padded))[:n]
+    def _batched(model, default_fwd):
+        """Prediction wrapper over either an imported Keras graph or a
+        default-architecture params pytree.  Input shapes mirror the
+        reference exactly (interseg.py:155 feeds the bare target channel)."""
+        if isinstance(model, KerasModel):
+            def predict(patches):
+                padded, n = _pad8(patches)
+                return np.asarray(model.predict(padded))[:n]
+        else:
+            def predict(patches):
+                padded, n = _pad8(patches)
+                return np.asarray(default_fwd(model, padded))[:n]
+        return predict
+
+    # (N,256,256) uint8 target-FISH channel -> (N,3) softmax
+    predict_i_batch = _batched(ecseg_i_params, classifiers.ecseg_i_forward)
+    # (N,256,256,3) preprocessed -> (N,1) sigmoid
+    predict_c_batch = _batched(ecseg_c_params, classifiers.ecseg_c_forward)
 
     stat_fish_results = pd.read_csv(
         os.path.join(inpath, "annotated/stat_fish_lsq.csv"),

@@ -393,3 +393,53 @@ def test_rpn_proposal_pipeline_matches_reference_graph(rng):
     assert len(got_s) == len(ref["scores"]), (len(got_s), len(ref["scores"]))
     np.testing.assert_allclose(got_s, ref["scores"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got_p, ref["proposals"], rtol=1e-3, atol=1e-3)
+
+
+def test_interseg_classifier_h5_path(rng, tmp_path):
+    """SavedModel -> convert -> interseg's load_classifier_models picks the
+    H5 up and the batched predictors reproduce tf predictions, using the
+    reference's exact input contracts (bare (N,256,256) target channel for
+    ecSeg-i, reference interseg.py:155; (N,256,256,3) for ecSeg-c)."""
+    import numpy as np
+    from tf_keras import Model, layers
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        from convert_savedmodel import convert
+    finally:
+        sys.path.pop(0)
+
+    def tiny_clf(in_shape, n_out, act, name):
+        inp = layers.Input(in_shape, name="in0")
+        x = inp
+        if len(in_shape) == 2:
+            x = layers.Reshape(in_shape + (1,), name="r")(x)
+        x = layers.Conv2D(4, 3, strides=4, padding="same", activation="relu", name="c")(x)
+        x = layers.GlobalAveragePooling2D(name="g")(x)
+        out = layers.Dense(n_out, activation=act, name="d")(x)
+        return Model(inp, out, name=name)
+
+    mdl_i = tiny_clf((256, 256), 3, "softmax", "interseg")
+    mdl_c = tiny_clf((256, 256, 3), 1, "sigmoid", "ecseg_c")
+    mdir = tmp_path / "interseg_models"
+    mdir.mkdir()
+    for name, mdl in [("interseg", mdl_i), ("ecseg_c", mdl_c)]:
+        sm = str(tmp_path / f"{name}_sm")
+        mdl.save(sm)
+        convert(sm, str(mdir / f"{name}.h5"))
+
+    from ecseg_tpu.models.keras_import import KerasModel
+    from ecseg_tpu.pipelines.interseg import load_classifier_models
+
+    i_model, c_model = load_classifier_models(True, model_dir=str(mdir))
+    assert isinstance(i_model, KerasModel)
+    assert isinstance(c_model, KerasModel)
+
+    xi = (rng.random((5, 256, 256)) * 255).astype(np.float32)
+    np.testing.assert_allclose(
+        i_model.predict(xi), mdl_i.predict(xi, verbose=0), rtol=1e-4, atol=1e-5
+    )
+    xc = rng.random((5, 256, 256, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        c_model.predict(xc), mdl_c.predict(xc, verbose=0), rtol=1e-4, atol=1e-5
+    )
