@@ -1,0 +1,1 @@
+from . import batching, checkpoint, data, trace, train
