@@ -47,7 +47,11 @@ _COL_PAD = 128  # sentinel border cols (int32 lane tile)
 # Phase A: cheap neighbor sweeps, checked every _CHUNK sweeps.
 _CHUNK = 4
 _A_CHUNKS = 6  # 24 plain sweeps before switching to scans
-_B_MAX = 512  # scan-sweep safety bound (fixpoint normally hits in a few)
+# Scan-sweep safety bound.  Fixpoint normally hits in a few iterations; the
+# worst case (a maximal spiral on a 1024^2 image) needs ~one iteration per
+# quarter-turn, i.e. up to ~2*H/4 -- keep the bound far above that so the
+# loop always exits at the true fixpoint, never the cap.
+_B_MAX = 8192
 
 
 def _interpret() -> bool:
