@@ -1,0 +1,102 @@
+"""Marker-controlled watershed ON DEVICE (fast path).
+
+The parity-exact watershed stays on the host (Python + C++ twins,
+ops/watershed.py): skimage's flood ordering is a global priority queue with
+insertion-age tie-breaking, which is inherently sequential, and the
+reference itself runs it host-side inside a tf.py_func
+(reference src/model_layers/marker_watershed.py:84).
+
+This module provides the TPU-native FAST PATH for throughput-oriented
+callers: watershed by topographic (minimax-path) flooding, the classical
+parallel formulation.  Each pixel takes the label of the marker reachable
+with the smallest bottleneck:  cost(p) = min over paths from a marker of
+max(image along path);  computed by iterated neighbor relaxation of a
+(cost, label) pair entirely in registers/VMEM-friendly shift ops under one
+jit (lax.while_loop to the fixpoint).
+
+Relation to the host result: identical wherever the minimax assignment is
+unique (markers in distinct basins separated by strict ridges -- the
+touching-nuclei EDT regime); on exact ties (equidistant ridge pixels) the
+two implementations may assign either side, which is why this is a fast
+path and not the parity path.  Tests pin the analytic two-basin case
+exactly and near-total agreement on the EDT regime.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_BIG = jnp.float32(3.4e38)
+
+
+def _shift(x, dy, dx, fill):
+    out = jnp.roll(x, (dy, dx), (0, 1))
+    if dy > 0:
+        out = out.at[:dy, :].set(fill)
+    elif dy < 0:
+        out = out.at[dy:, :].set(fill)
+    if dx > 0:
+        out = out.at[:, :dx].set(fill)
+    elif dx < 0:
+        out = out.at[:, dx:].set(fill)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def watershed_tpu(
+    image: jnp.ndarray,
+    markers: jnp.ndarray,
+    mask: jnp.ndarray = None,
+    connectivity: int = 1,
+    max_iters: int = 4096,
+) -> jnp.ndarray:
+    """Flood ``markers`` over ``image`` (ascending values) within ``mask``
+    by minimax-path relaxation.  Returns int32 labels (0 = unreached)."""
+    image = jnp.asarray(image, jnp.float32)
+    markers = jnp.asarray(markers, jnp.int32)
+    if mask is None:
+        mask = jnp.ones(image.shape, bool)
+    else:
+        mask = jnp.asarray(mask).astype(bool)
+    markers = jnp.where(mask, markers, 0)
+
+    offs4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    offs8 = offs4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    offs = offs8 if connectivity == 2 else offs4
+
+    cost0 = jnp.where(markers > 0, image, _BIG)
+    lab0 = markers
+
+    def body(state):
+        cost, lab, _, it = state
+        new_cost, new_lab = cost, lab
+        for dy, dx in offs:
+            ncost = _shift(cost, dy, dx, _BIG)
+            nlab = _shift(lab, dy, dx, 0)
+            cand = jnp.maximum(ncost, image)
+            take = jnp.logical_and(cand < new_cost, nlab > 0)
+            new_cost = jnp.where(take, cand, new_cost)
+            new_lab = jnp.where(take, nlab, new_lab)
+        new_cost = jnp.where(mask, new_cost, _BIG)
+        new_lab = jnp.where(mask, new_lab, 0)
+        # markers never change hands
+        new_lab = jnp.where(markers > 0, markers, new_lab)
+        new_cost = jnp.where(markers > 0, cost0, new_cost)
+        changed = jnp.max(jnp.where(new_lab != lab, 1, 0)) > 0
+        changed = jnp.logical_or(
+            changed, jnp.max(jnp.where(new_cost != cost, 1, 0)) > 0
+        )
+        return new_cost, new_lab, changed, it + 1
+
+    def cond(state):
+        _, _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    _, lab, _, _ = lax.while_loop(
+        cond, body, (cost0, lab0, jnp.bool_(True), jnp.int32(0))
+    )
+    return lab
