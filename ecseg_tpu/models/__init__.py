@@ -1,1 +1,1 @@
-from . import layers, metaseg_unet, nuset, classifiers
+from . import layers, metaseg_unet, nuset, classifiers, quant
