@@ -30,7 +30,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_BIG = jnp.float32(3.4e38)
+# kept as a python float so importing this module never initializes a jax
+# backend (device constants at module scope force platform init on import)
+_BIG = 3.4e38
 
 
 def _shift(x, dy, dx, fill):
