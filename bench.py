@@ -140,6 +140,9 @@ def measure(arch: str):
 
 
 def main():
+    from ecseg_tpu.runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
     arch = "xl" if "--arch" in sys.argv and "xl" in sys.argv else "default"
     tiles_per_sec = measure(arch)
 

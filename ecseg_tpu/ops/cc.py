@@ -116,12 +116,21 @@ class Region:
         # numpy scalars, not python floats: skimage returns numpy scalars
         # and the reference's metaphase heuristic depends on the reflected
         # comparison `list > np.float64` broadcasting
-        # (reference src/image_tools.py:75-78)
-        ys, xs = np.nonzero(self._mask)
+        # (reference src/image_tools.py:75-78).
+        # Computed by exact integer row/column-count reductions rather than
+        # np.nonzero + mean: coordinate sums stay far below 2^53, so the
+        # float64 division equals skimage's mean-of-coordinates bit-for-bit,
+        # and this host's numpy runs nonzero ~300x slower than reductions.
+        m = self._mask
         sy, sx = self.slice
+        n = m.sum(dtype=np.int64)
+        row_counts = m.sum(axis=1, dtype=np.int64)
+        col_counts = m.sum(axis=0, dtype=np.int64)
+        ysum = int((row_counts * np.arange(m.shape[0], dtype=np.int64)).sum())
+        xsum = int((col_counts * np.arange(m.shape[1], dtype=np.int64)).sum())
         return (
-            np.float64(ys.mean() + sy.start),
-            np.float64(xs.mean() + sx.start),
+            np.float64(ysum / n + sy.start),
+            np.float64(xsum / n + sx.start),
         )
 
     @property
@@ -129,6 +138,12 @@ class Region:
         ys, xs = np.nonzero(self._mask)
         sy, sx = self.slice
         return np.stack([ys + sy.start, xs + sx.start], axis=1)
+
+    def write(self, img: np.ndarray, value) -> None:
+        """``img[tuple(self.coords.T)] = value`` without materializing
+        coords (np.nonzero is pathologically slow on this host's numpy;
+        boolean-mask assignment is not)."""
+        img[self.slice][self._mask] = value
 
     def __getitem__(self, key: str):
         # regionprops dict-style access used at reference
@@ -150,7 +165,9 @@ def regionprops(labels: np.ndarray) -> List[Region]:
     if labels.dtype == bool:
         raise TypeError("labels must be an integer label image, not a mask")
     objects = ndi.find_objects(labels)
-    counts = np.bincount(labels.ravel()[labels.ravel() > 0])
+    # unmasked bincount: label 0 lands in counts[0], which is never read
+    # (masking first costs a slow fancy-index copy on this host's numpy)
+    counts = np.bincount(labels.ravel())
     regions: List[Region] = []
     for i, sl in enumerate(objects, start=1):
         if sl is None:

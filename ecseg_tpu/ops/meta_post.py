@@ -39,10 +39,19 @@ def _merge_comp(img: np.ndarray, class_id: int = 2) -> np.ndarray:
     img[temp] = 0
     s = ndi.generate_binary_structure(2, 2)
     labeled_array, num_features = ndi.label(img, structure=s)
-    for i in range(1, num_features):  # reference off-by-one: last label skipped
-        ind = labeled_array == i
-        if np.any(img[ind] == class_id):
-            img[ind] = class_id
+    # Vectorized form of the reference's per-component loop
+    # (``for i in range(1, num_features): if any(img[lab==i]==class_id):
+    # img[lab==i]=class_id``): components are disjoint, so each iteration
+    # only reads pixels no other iteration writes -- the loop is exactly a
+    # per-label "touches class_id" map.  The reference's off-by-one (the
+    # last label is skipped) is preserved by excluding ``num_features``.
+    touching = np.unique(labeled_array[img == class_id])
+    lut = np.zeros(num_features + 1, dtype=bool)
+    lut[touching] = True
+    lut[0] = False
+    if num_features >= 1:
+        lut[num_features] = False  # reference off-by-one: last label skipped
+    img[lut[labeled_array]] = class_id
     img[morph.opening(img, morph.diamond(1)) == class_id] = class_id
     img[temp] = mask_id
     return img
@@ -60,18 +69,18 @@ def _size_thresh(img: np.ndarray) -> np.ndarray:
     avg_chrom_size = np.mean([c.area for c in chrom_regs]) if chrom_regs else np.nan
     for r in nuc_regs:
         if r.area < avg_chrom_size:
-            img[tuple(r.coords.T)] = 0
+            r.write(img, 0)
 
     chrom_regs = regionprops(cc_label(img == 2))
     ec_regs = regionprops(cc_label(img == 3))
     avg_ec_size = np.mean([c.area for c in ec_regs]) if ec_regs else np.nan
     for r in chrom_regs:
         if r.area < avg_ec_size:
-            img[tuple(r.coords.T)] = 3
+            r.write(img, 3)
 
     for r in ec_regs:  # stale list (pre-conversion), as in the reference
         if r.area < EC_SIZE_THRESHOLD:
-            img[tuple(r.coords.T)] = 0
+            r.write(img, 0)
     return img
 
 
@@ -100,7 +109,7 @@ def meta_inference(img: np.ndarray) -> np.ndarray:
         bottom = len(np.where((c_y < n[0]) & (c_y > n[0] - v))[0]) > min_chrom_count
         top = len(np.where((c_y > n[0]) & (c_y < n[0] + v))[0]) > min_chrom_count
         if (left * bottom & right * top) or (bottom * right & top * left):
-            img[tuple(nuc_regs[idx].coords.T)] = 0
+            nuc_regs[idx].write(img, 0)
 
     img = _merge_comp(_merge_comp(img, 1), 2)
     img[morph.binary_dilation(img == 3, morph.diamond(1))] = 3
@@ -129,26 +138,29 @@ def count_HSR(chrom: np.ndarray, fish: np.ndarray, hsr_size_threshold: int) -> i
     (reference src/image_tools.py:103-112)."""
     fish = morph.remove_small_objects(fish, hsr_size_threshold)
     chrom_labels = cc_label(chrom)
-    num_hsr = 0
-    for r in np.unique(chrom_labels)[1:]:
-        if np.sum((chrom_labels == r) * fish) >= 1:
-            num_hsr += 1
-    return num_hsr
+    return _count_overlapping_labels(chrom_labels, fish)
 
 
 def count_colocalization(ob1: np.ndarray, ob2: np.ndarray) -> int:
     """Components of ob1 overlapping >= 1 px of ob2
     (reference src/image_tools.py:126-134)."""
     labels = cc_label(ob1)
-    num = 0
-    for r in np.unique(labels)[1:]:
-        if np.sum((labels == r) * ob2) >= 1:
-            num += 1
-    return num
+    return _count_overlapping_labels(labels, ob2)
+
+
+def _count_overlapping_labels(labels: np.ndarray, other: np.ndarray) -> int:
+    """Labels from ``np.unique(labels)[1:]`` with >= 1 px of boolean mask
+    ``other`` -- one pass instead of the reference's per-label image rescan
+    (``np.sum((labels == r) * other) >= 1``, identical for the boolean/uint
+    masks every call site passes).  ``[1:]`` drops the first unique value
+    whatever it is (reference src/image_tools.py:108,131) -- replicated."""
+    candidates = np.unique(labels)[1:]
+    overlapped = np.unique(labels[np.asarray(other) != 0])
+    return int(np.isin(candidates, overlapped).sum())
 
 
 def intensity_metrics(I: np.ndarray) -> Tuple[float, float]:
     """(mean of nonzero, max) (reference src/image_tools.py:121-124)."""
-    nz = I[np.nonzero(I)]
+    nz = I[I != 0]  # same raster-order selection as I[np.nonzero(I)]
     avg = np.mean(nz) if nz.size else np.nan
     return avg, np.max(I)

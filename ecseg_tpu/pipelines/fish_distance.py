@@ -128,6 +128,9 @@ def get_distances_path(root_directory: str, *presets) -> List[float]:
 
 
 def main(argv=None, config: Optional[Config] = None) -> int:
+    from ..runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
     if config is None:
         config = load_config()
     var = config.fish_distance_calculation

@@ -121,6 +121,9 @@ def load_classifier_models(has_centromeric_probe: bool, model_dir: str = "inters
 
 
 def main(argv=None, config: Optional[Config] = None) -> int:
+    from ..runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
     from ..models import classifiers
 
     if config is None:

@@ -61,6 +61,9 @@ def read_seg(image_path: str):
 
 
 def main(argv=None, config: Optional[Config] = None) -> int:
+    from ..runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
     if config is None:
         config = load_config()
     try:

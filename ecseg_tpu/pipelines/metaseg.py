@@ -222,6 +222,9 @@ def load_params(model_dir: str = "models", key: Optional[jax.Array] = None):
 
 
 def main(argv=None, config: Optional[Config] = None) -> int:
+    from ..runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
     if config is None:
         config = load_config()
     var = config.metaseg

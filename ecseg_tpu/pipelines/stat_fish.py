@@ -55,6 +55,9 @@ def load_nuset_model(model_dir: str = "models", **kw) -> nuset_infer.NuSeTModel:
 
 
 def main(argv=None, config: Optional[Config] = None, params=None) -> int:
+    from ..runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
     if config is None:
         config = load_config()
     if params is None:

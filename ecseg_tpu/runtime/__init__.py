@@ -1,1 +1,1 @@
-from . import batching, checkpoint, data, trace, train
+from . import batching, checkpoint, data, hostmem, trace, train
