@@ -25,3 +25,13 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:  # pragma: no cover - jax always importable in this env
     pass
+
+# This kernel faults fresh mmap pages at ~25 MB/s; keep large numpy buffers
+# on the reusable heap (see ecseg_tpu/runtime/hostmem.py) so image-sized
+# test fixtures do not pay multi-second first-touch costs.
+try:
+    from ecseg_tpu.runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
+except Exception:  # pragma: no cover
+    pass

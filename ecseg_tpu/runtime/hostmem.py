@@ -22,6 +22,7 @@ import ctypes
 import ctypes.util
 
 # glibc malloc.h
+M_TRIM_THRESHOLD = -1
 M_MMAP_THRESHOLD = -3
 
 _done = False
@@ -29,8 +30,11 @@ _done = False
 
 def tune_host_allocator(threshold_bytes: int = 1 << 30) -> bool:
     """Raise glibc's mmap threshold so large numpy buffers are heap-served
-    and reused.  Idempotent; returns True if the tune took effect (glibc
-    present and mallopt accepted the value), False otherwise (non-glibc
+    and reused, and disable heap trimming so freed top-of-heap blocks keep
+    their faulted pages (glibc otherwise returns them to the OS, and the
+    next image-sized allocation pays the ~25 MB/s fault cost all over
+    again).  Idempotent; returns True if the tune took effect (glibc
+    present and mallopt accepted the values), False otherwise (non-glibc
     platforms -- a silent no-op)."""
     global _done
     if _done:
@@ -38,6 +42,7 @@ def tune_host_allocator(threshold_bytes: int = 1 << 30) -> bool:
     try:
         libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6")
         ok = bool(libc.mallopt(M_MMAP_THRESHOLD, ctypes.c_int(threshold_bytes)))
+        ok = bool(libc.mallopt(M_TRIM_THRESHOLD, ctypes.c_int(2**31 - 1))) and ok
     except (OSError, AttributeError):
         return False
     _done = ok
