@@ -274,9 +274,10 @@ def _visualize(updated, segmented_cells, seed):
     for v in uniq:
         lut_r[v] = vis_hash(int(v), "r")
         lut_g[v] = vis_hash(int(v), "g")
-    r = lut_r[updated]
-    g = lut_g[updated]
-    b = np.clip(384 - r - g, 0, 255) * np.asarray(segmented_cells).astype(bool).astype(
-        int
-    )
-    return np.dstack([r, g, b]).astype(np.uint8)
+    # blue is itself a pure function of the label, so the whole image is
+    # three uint8 LUT lookups (vs the former int64 per-pixel arithmetic)
+    lut_b = np.clip(384 - lut_r - lut_g, 0, 255)
+    r = lut_r.astype(np.uint8)[updated]
+    g = lut_g.astype(np.uint8)[updated]
+    b = lut_b.astype(np.uint8)[updated] * np.asarray(segmented_cells, bool)
+    return np.dstack([r, g, b])
