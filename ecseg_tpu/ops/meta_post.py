@@ -23,7 +23,7 @@ import numpy as np
 from scipy import ndimage as ndi
 
 from . import morphology as morph
-from .cc import count_cc, label as cc_label, regionprops
+from .cc import label as cc_label, regionprops
 
 NUM_CLASSES = 4
 EC_SIZE_THRESHOLD = 15  # reference src/image_tools.py:13
