@@ -81,7 +81,7 @@ def build(arch: str = "default"):
 
     from ecseg_tpu.models import metaseg_unet
     from ecseg_tpu.ops import tiling
-    from ecseg_tpu.ops.cc_pallas import count_cc_pallas
+    from ecseg_tpu.ops.cc_pallas import count_cc_from_patches
 
     batch_tiles, nchunks = _sizes(arch)
     h = w = 1024
@@ -95,8 +95,13 @@ def build(arch: str = "default"):
 
     def tile_fn(params, patches):  # (25, 256, 256, 1) uint8 -> ec count
         probs = metaseg_unet.forward(params, patches, dtype=jnp.bfloat16)
-        labels = tiling.stitch_argmax_jax(probs, positions)
-        num_ec, _ = count_cc_pallas(labels == 3, connectivity=2)
+        # uint8 quantization + argmax (commutes with the stitch copies, see
+        # tiling.stitch_argmax_jax); the stitch itself runs INSIDE the CC
+        # kernel (same copy plan, in VMEM) -- the XLA stitcher's ~150 small
+        # update-slice launches per tile were pure launch overhead
+        u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
+        labels = jnp.argmax(u8, axis=-1).astype(jnp.int32)
+        num_ec, _ = count_cc_from_patches(labels, positions, class_id=3)
         return num_ec
 
     @jax.jit

@@ -120,9 +120,15 @@ def _segscan_axis(lab, big, axis, size, border, idx_along):
 def _cc_kernel_body(mask_ref, h, w, connectivity, want_labels):
     """Shared kernel body; returns (labels, count, px) values."""
     hp, wp = _padded_dims(h, w)
+    mp = jnp.pad(mask_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+    return _cc_fixpoint(mp, hp, wp, h, w, connectivity, want_labels)
+
+
+def _cc_fixpoint(mp, hp, wp, h, w, connectivity, want_labels):
+    """Label-propagation fixpoint over an already-padded (hp, wp) int32
+    foreground map; returns (labels, count, px) values."""
     big = jnp.int32(hp * wp)
 
-    mp = jnp.pad(mask_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w)))
     rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
     cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
     idx = rows * wp + cols
@@ -182,6 +188,29 @@ def _count_kernel(h, w, connectivity):
     return kernel
 
 
+def _count_from_patches_kernel(copies, h, w, class_id, connectivity):
+    """Kernel that performs the overlap-stitch copy plan IN VMEM (the XLA
+    formulation issues ~150 small dynamic_update_slice kernels per tile,
+    which is launch-overhead bound) and then runs the CC fixpoint on the
+    assembled ``label == class_id`` mask."""
+    hp, wp = _padded_dims(h, w)
+
+    def kernel(patches_ref, count_ref, px_ref, mp_ref):
+        # Mosaic has no value-level dynamic_update_slice; assemble the
+        # canvas in a VMEM scratch with static slice stores instead.
+        mp_ref[:] = jnp.zeros((hp, wp), jnp.int32)
+        for (i, sy, sx, dy, dx, sh, sw) in copies:
+            block = patches_ref[i, sy : sy + sh, sx : sx + sw]
+            mp_ref[dy : dy + sh, dx : dx + sw] = jnp.where(
+                block == class_id, 1, 0
+            ).astype(jnp.int32)
+        _, count, px = _cc_fixpoint(mp_ref[:], hp, wp, h, w, connectivity, False)
+        count_ref[0, 0] = count
+        px_ref[0, 0] = px
+
+    return kernel
+
+
 def _label_kernel(h, w, connectivity):
     def kernel(mask_ref, lab_ref):
         labels, _, _ = _cc_kernel_body(mask_ref, h, w, connectivity, True)
@@ -210,6 +239,51 @@ def count_cc_pallas(mask: jnp.ndarray, connectivity: int = 2):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(mask)
+    return count[0, 0], px[0, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("positions", "class_id", "connectivity")
+)
+def count_cc_from_patches(
+    label_patches: jnp.ndarray,
+    positions,
+    class_id: int = 3,
+    connectivity: int = 2,
+):
+    """Fused overlap-stitch + connected-component count.
+
+    ``label_patches``: (N, scw, scw) integer per-patch argmax label maps;
+    ``positions``: the static patch-position tuple (ops.tiling).
+    Semantically identical to
+    ``count_cc_pallas(stitch == class_id)`` where ``stitch`` is the
+    stitched label canvas -- the same copy plan runs inside the kernel, so
+    the canvas never touches HBM and the ~150 per-tile XLA update-slice
+    launches disappear.
+    """
+    from .tiling import OVERLAP, SCW, _stitch_plan_cached
+
+    pos_key = tuple(map(tuple, positions))
+    pos = np.asarray(pos_key)
+    h_l = int(pos[:, 0].max())
+    w_l = int(pos[:, 1].max())
+    copies, H, W = _stitch_plan_cached(pos_key, OVERLAP, SCW, h_l, w_l)
+    hp, wp = _padded_dims(H, W)
+    count, px = pl.pallas_call(
+        _count_from_patches_kernel(tuple(copies), H, W, class_id, connectivity),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((hp, wp), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(label_patches.astype(jnp.int32))
     return count[0, 0], px[0, 0]
 
 

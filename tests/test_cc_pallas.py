@@ -74,3 +74,30 @@ def test_snake_mask_exercises_scan_phase():
     n, px = count_cc_pallas(jnp.asarray(m), connectivity=1)
     assert int(n) == _ref_count(m, 1) == 1
     assert int(px) == int(m.sum())
+
+
+def test_fused_stitch_count_matches_stitch_then_count(rng):
+    """count_cc_from_patches == count over the XLA-stitched canvas, for a
+    full 1024^2 overlap-tiled geometry with blob-like and noisy labels."""
+    from ecseg_tpu.ops import tiling
+    from ecseg_tpu.ops.cc_pallas import count_cc_from_patches
+
+    h = w = 1024
+    positions = tuple(map(tuple, tiling.patch_positions(h, w)))
+    img = np.zeros((h, w), np.int32)
+    for _ in range(150):
+        y, x = rng.integers(0, h - 10, 2)
+        r = int(rng.integers(2, 8))
+        img[y : y + r, x : x + r] = 3
+    img[rng.random((h, w)) < 0.002] = 3  # single-pixel specks
+    img[rng.random((h, w)) < 0.01] = 1  # other-class clutter
+
+    patches = np.stack([img[y : y + 256, x : x + 256] for (y, x) in positions])
+    n, px = count_cc_from_patches(jnp.asarray(patches), positions, class_id=3)
+
+    stitched = tiling.stitch_labels_host(patches, positions)
+    ref_n, ref_px = count_cc_pallas(jnp.asarray(stitched == 3), connectivity=2)
+    assert int(n) == int(ref_n)
+    assert int(px) == int(ref_px)
+    # and against scipy on the same canvas
+    assert int(n) == _ref_count(stitched == 3, 2)
