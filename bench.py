@@ -2,9 +2,11 @@
 labeling), the driver-provided north-star metric (BASELINE.json).
 
 Per tile, exactly the metaseg hot path (reference src/utils.py:109-120):
-25 overlapping 256x256 patches -> U-Net forward (bf16 on the MXU) -> device
-stitch -> uint8 argmax -> on-device connected-component count of the ecDNA
-class (Pallas kernel, ecseg_tpu/ops/cc_pallas.py).
+25 overlapping 256x256 patches -> U-Net forward (bf16 on the MXU) -> uint8
+quantization + per-pixel argmax -> overlap stitch + connected-component
+count of the ecDNA class, fused in one Pallas kernel
+(ecseg_tpu/ops/cc_pallas.count_cc_from_patches; the argmax commutes with
+the stitch copies, and the copy plan runs in VMEM).
 
 Harness design: this TPU is driven through a relay with a fixed ~35 ms
 round-trip per dispatched call, so the workload is ONE jitted program that
