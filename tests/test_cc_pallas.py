@@ -101,3 +101,22 @@ def test_fused_stitch_count_matches_stitch_then_count(rng):
     assert int(px) == int(ref_px)
     # and against scipy on the same canvas
     assert int(n) == _ref_count(stitched == 3, 2)
+
+
+@pytest.mark.parametrize("shape", [(700, 900), (256, 256), (512, 310)])
+def test_fused_stitch_count_irregular_geometries(rng, shape):
+    from ecseg_tpu.ops import tiling
+    from ecseg_tpu.ops.cc_pallas import count_cc_from_patches
+
+    h, w = shape
+    positions = tuple(map(tuple, tiling.patch_positions(h, w)))
+    img = np.zeros((h, w), np.int32)
+    for _ in range(40):
+        y, x = rng.integers(0, h - 8), rng.integers(0, w - 8)
+        img[y : y + int(rng.integers(2, 7)), x : x + int(rng.integers(2, 7))] = 3
+    patches = np.stack([img[y : y + 256, x : x + 256] for (y, x) in positions])
+
+    n, px = count_cc_from_patches(jnp.asarray(patches), positions, class_id=3)
+    stitched = tiling.stitch_labels_host(patches, positions)
+    ref_n, ref_px = count_cc_pallas(jnp.asarray(stitched == 3), connectivity=2)
+    assert (int(n), int(px)) == (int(ref_n), int(ref_px))
