@@ -18,11 +18,13 @@ NCHUNKS * BATCH_TILES tiles (<3% of the measurement).
 Baseline: the north star is >= 1024 tiles/sec on a v5e-8, i.e. 128
 tiles/sec/chip; vs_baseline = measured per-chip rate / 128.
 
-``--arch xl`` benches the full-width classic U-Net (130 GFLOP/patch) instead
-of the default half-width flagship (33 GFLOP/patch); the importer dictates
-the real production architecture from metaseg.h5 either way.  The xl number
-is reported on stderr when requested; the driver-parsed stdout JSON line is
-always the default flagship architecture.
+Both architectures are reported on every run: the driver-parsed stdout JSON
+line is the default half-width flagship (33 GFLOP/patch), and the full-width
+classic U-Net (``xl``, 130 GFLOP/patch -- the likely shape of the real
+metaseg.h5) is measured afterwards and reported as a second JSON line on
+STDERR, each with its MFU vs the chip's bf16 peak, so the scored number
+cannot be read as covering the full-width case.  ``--arch xl`` measures only
+xl (stderr); ``--flagship-only`` skips the xl pass.
 """
 
 import json
@@ -146,28 +148,78 @@ def measure(arch: str):
     return total * REPS / dt
 
 
-def main():
-    from ecseg_tpu.runtime.hostmem import tune_host_allocator
-
-    tune_host_allocator()
-    arch = "xl" if "--arch" in sys.argv and "xl" in sys.argv else "default"
-    tiles_per_sec = measure(arch)
-
+def _peak_bf16_flops():
+    """Per-chip bf16 peak for the MFU figure (by device_kind; v5e default --
+    the 130 GFLOP xl patch maxes out at ~60.6 tiles/s on a 197 TFLOP/s chip)."""
     import jax
 
-    n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1)
-    per_chip = tiles_per_sec / n_chips
+    kinds = [d.device_kind.lower() for d in jax.devices() if d.platform != "cpu"]
+    kind = kinds[0] if kinds else ""
+    for tag, peak in [
+        ("v6", 918e12),
+        ("v5p", 459e12),
+        ("v5", 197e12),  # v5e / v5 lite
+        ("v4", 275e12),
+    ]:
+        if tag in kind:
+            return peak
+    return 197e12
+
+
+def _result(arch: str, per_chip: float, n_chips: int) -> dict:
+    from ecseg_tpu.models import metaseg_unet
+
+    if arch == "xl":
+        flops = metaseg_unet.flops_per_patch(
+            metaseg_unet.ENC_WIDTHS_XL, metaseg_unet.BOTTLENECK_XL
+        )
+    else:
+        flops = metaseg_unet.flops_per_patch()
+    patches_per_tile = 25  # 1024x1024 at stride 206
+    mfu = per_chip * patches_per_tile * flops / _peak_bf16_flops()
     result = {
         "metric": "1024x1024 DAPI tiles/sec/chip (U-Net seg + CC labeling)",
         "value": round(per_chip, 2),
         "unit": "tiles/s/chip",
         "vs_baseline": round(per_chip / TARGET_PER_CHIP, 4),
+        "arch": "unet-halfwidth-33gflop" if arch == "default" else "unet-classic-130gflop",
+        "forward_mfu": round(mfu, 4),
+        "workload_note": (
+            f"each timed call rescans {PASSES}x over the device-resident "
+            "chunks (full recompute, no result reuse) to amortize the ~35ms "
+            "relay dispatch of this attachment"
+        ),
     }
     if arch == "xl":
         result["metric"] += " [arch=xl]"
-        print(json.dumps(result), file=sys.stderr)
-    else:
-        print(json.dumps(result))
+    return result
+
+
+def main():
+    from ecseg_tpu.runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
+    import jax
+
+    n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1)
+    arch = "xl" if "--arch" in sys.argv and "xl" in sys.argv else "default"
+
+    per_chip = measure(arch) / n_chips
+    out = sys.stderr if arch == "xl" else sys.stdout
+    print(json.dumps(_result(arch, per_chip, n_chips)), file=out, flush=True)
+
+    if arch == "default" and "--flagship-only" not in sys.argv:
+        # full-width U-Net: measured every run so both numbers land in the
+        # round artifacts; stderr keeps the driver-parsed stdout to one line
+        try:
+            xl_per_chip = measure("xl") / n_chips
+            print(
+                json.dumps(_result("xl", xl_per_chip, n_chips)),
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as e:  # the scored flagship line is already out
+            print(f"xl bench failed: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,38 @@ def num_levels(params: Dict) -> int:
     return max(int(k[3]) for k in params if k.startswith("enc"))
 
 
+def flops_per_patch(
+    widths=ENC_WIDTHS,
+    bottleneck: int = BOTTLENECK,
+    in_ch: int = 1,
+    num_classes: int = NUM_CLASSES,
+    patch: int = PATCH,
+) -> int:
+    """Analytic forward FLOPs for one (patch, patch, in_ch) tile.
+
+    Transpose convs are counted at their *output* resolution (the
+    lhs-dilated conv the MXU actually executes); used for the MFU figures
+    reported by bench.py.
+    """
+    f = 0
+    s = patch * patch
+    c = in_ch
+    for w in widths:
+        f += 2 * 9 * s * c * w + 2 * 9 * s * w * w
+        c = w
+        s //= 4
+    f += 2 * 9 * s * c * bottleneck + 2 * 9 * s * bottleneck * bottleneck
+    c = bottleneck
+    for w in reversed(widths):
+        s *= 4
+        f += 2 * 9 * s * c * w  # transpose up-conv, output-res accounting
+        f += 2 * 9 * s * (2 * w) * w  # dec_1 over the skip concat
+        f += 2 * 9 * s * w * w  # dec_2
+        c = w
+    f += 2 * s * c * num_classes  # 1x1 head
+    return f
+
+
 def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
     """(N, H, W, C) patches -> (N, H, W, num_classes) softmax probabilities."""
     levels = num_levels(params)

@@ -99,16 +99,20 @@ def qconv2d(x, p: Dict, *, transpose: bool = False, stride: int = 2):
     xq, sx = _quantize_activation(x)
     kq = p["kernel_q"]
     if transpose:
-        # mirror layers.conv2d_transpose: grad-of-conv with flipped kernel
-        kh = kq.shape[0]
-        pad_total = max(kh - stride, 0)
-        pad_lo = pad_total // 2
-        pad_hi = pad_total - pad_lo
+        # mirror layers.conv2d_transpose: grad-of-conv with flipped kernel,
+        # with per-axis padding so non-square kernels stay correct
+        def _pad(k):
+            pad_total = max(k - stride, 0)
+            pad_lo = pad_total // 2
+            pad_hi = pad_total - pad_lo
+            return (k - 1 - pad_lo, k - 1 - pad_hi)
+
+        kh, kw = kq.shape[0], kq.shape[1]
         y = lax.conv_general_dilated(
             xq,
             jnp.flip(kq, axis=(0, 1)),
             (1, 1),
-            [(kh - 1 - pad_lo, kh - 1 - pad_hi)] * 2,
+            [_pad(kh), _pad(kw)],
             lhs_dilation=(stride, stride),
             dimension_numbers=_DN,
             preferred_element_type=jnp.int32,

@@ -178,8 +178,22 @@ def regionprops(labels: np.ndarray) -> List[Region]:
     return regions
 
 
-def count_cc(mask: np.ndarray) -> Tuple[int, int]:
+def count_cc(mask: np.ndarray):
     """(number of components, total foreground pixels); the 2-tuple is the
-    reference's exact return shape (reference src/image_tools.py:114-119)."""
+    reference's exact return shape (reference src/image_tools.py:114-119).
+
+    The reference sums component sizes over ``np.unique(labels)[1:]`` -- it
+    drops the *smallest present* label, not label 0.  On an empty mask that
+    leaves no sizes and ``np.sum([])`` is the float ``0.0``; on an
+    all-foreground mask label 1 itself is dropped, again giving ``0.0``.
+    These tuples are stored verbatim in fish_quantification.csv cells
+    (reference meta_overlay.py:70-71,79), so the float-vs-int distinction is
+    string-visible and must be preserved.
+    """
     labels, num = label(mask, return_num=True)
-    return num, int(np.sum(labels > 0))
+    counts = np.bincount(labels.ravel())
+    present = np.flatnonzero(counts)  # == np.unique(labels), sorted
+    sizes = counts[present[1:]]  # reference's unique[1:]: drop the smallest
+    if sizes.size == 0:
+        return num, 0.0  # np.sum([]) in the reference
+    return num, int(sizes.sum())

@@ -154,6 +154,12 @@ def _count_overlapping_labels(labels: np.ndarray, other: np.ndarray) -> int:
     (``np.sum((labels == r) * other) >= 1``, identical for the boolean/uint
     masks every call site passes).  ``[1:]`` drops the first unique value
     whatever it is (reference src/image_tools.py:108,131) -- replicated."""
+    other = np.asarray(other)
+    # The >=1-px equivalence only holds for boolean/integer masks; a float
+    # mask in (0,1) would need the reference's weighted sum to reach 1.
+    assert other.dtype == bool or np.issubdtype(other.dtype, np.integer), (
+        f"_count_overlapping_labels requires a bool/integer mask, got {other.dtype}"
+    )
     candidates = np.unique(labels)[1:]
     overlapped = np.unique(labels[np.asarray(other) != 0])
     return int(np.isin(candidates, overlapped).sum())

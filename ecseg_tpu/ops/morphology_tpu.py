@@ -61,10 +61,12 @@ def binary_dilation_tpu(mask: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray
 
 
 def binary_erosion_tpu(mask: jnp.ndarray, footprint: np.ndarray) -> jnp.ndarray:
+    # skimage's binary_erosion pads with True (border_value=1), so
+    # out-of-bounds neighbors never erode border pixels
     mask = mask.astype(bool)
     out = jnp.ones_like(mask)
     for dy, dx in _se_offsets(footprint):
-        out = jnp.logical_and(out, _shift2d(mask, -dy, -dx, False))
+        out = jnp.logical_and(out, _shift2d(mask, -dy, -dx, True))
     return out
 
 

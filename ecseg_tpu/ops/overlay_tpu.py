@@ -35,7 +35,13 @@ def _label_and_roots(mask):
 
 
 def count_cc_pair_tpu(mask):
-    """(num_components, foreground px) -- device twin of ops.cc.count_cc."""
+    """(num_components, foreground px) -- device twin of ops.cc.count_cc.
+
+    The reference's ``unique(labels)[1:]`` quirk (empty / all-foreground
+    masks give the float ``0.0`` as the second element) is data-independent
+    given (num, fg): the pipeline applies it host-side after device_get
+    (pipelines/meta_overlay.py ``_cc_pair``), keeping this kernel int-typed.
+    """
     flat, roots = _label_and_roots(mask)
     return (
         jnp.sum(roots, dtype=jnp.int32),

@@ -288,48 +288,34 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                     c_prob = {}
 
         # ---- phase 3: assemble rows in collection order -------------------
-        pred_no_amp, pred_ec, pred_hsr, ecseg_i_label = [], [], [], []
-        pred_no_focal, pred_focal, ecseg_c_label, interseg_label = [], [], [], []
+        # (the reference also accumulates per-class probability lists here,
+        # interseg.py:124-125,157-160, but never writes them; dropped)
+        ecseg_i_label, ecseg_c_label, interseg_label = [], [], []
         for entry in entries:
             if entry[0] == "skip":
                 reason = entry[1]
                 interseg_label.append(reason)
                 ecseg_i_label.append(reason)
-                pred_no_amp.append(reason)
-                pred_ec.append(reason)
-                pred_hsr.append(reason)
                 if has_centromeric_probe:
                     ecseg_c_label.append(reason)
-                    pred_no_focal.append(reason)
-                    pred_focal.append(reason)
                 continue
 
             k = entry[1]
-            a, b, c = probs_i[k]
-            pred_no_amp.append(a)
-            pred_ec.append(b)
-            pred_hsr.append(c)
             label_i = ECSEG_I_LABEL_MAP[int(np.argmax(probs_i[k]))]
             ecseg_i_label.append(label_i)
 
             if has_centromeric_probe and k in c_prob:
                 pc = c_prob[k]
-                pred_no_focal.append(1 - pc)
-                pred_focal.append(pc)
                 label_c = ECSEG_C_LABEL_MAP[int(pc > 0.5)]
                 ecseg_c_label.append(label_c)
                 interseg_label.append(INTERSEG_LABEL_MAP[(label_c, label_i)])
             else:
                 if has_centromeric_probe and not quality_pass:
-                    reason = "No_Prediction (Failed Centromeric Quality Score)"
-                    ecseg_c_label.append(reason)
-                    pred_no_focal.append(reason)
-                    pred_focal.append(reason)
+                    ecseg_c_label.append(
+                        "No_Prediction (Failed Centromeric Quality Score)"
+                    )
                 elif has_centromeric_probe:  # cent brightness <= 10
-                    reason = "No_Prediction (Low_CENT_Brightness)"
-                    ecseg_c_label.append(reason)
-                    pred_no_focal.append(reason)
-                    pred_focal.append(reason)
+                    ecseg_c_label.append("No_Prediction (Low_CENT_Brightness)")
                 interseg_label.append(label_i)
 
         df = pd.DataFrame()

@@ -134,11 +134,21 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                     )
                 ),
             )
-            num_ecDNA = stats["num_ecDNA"]
-            num_FISH = stats["num_FISH"]
+
+            def _cc_pair(pair, hw=nuclei.shape[0] * nuclei.shape[1]):
+                # reference count_cc sums over unique(labels)[1:]: an empty
+                # or all-foreground mask yields the float 0.0 (np.sum([])),
+                # string-visible in the CSV tuple cells (see ops/cc.count_cc)
+                num, fg = pair
+                if fg == 0 or fg == hw:
+                    return num, 0.0
+                return num, fg
+
+            num_ecDNA = _cc_pair(stats["num_ecDNA"])
+            num_FISH = _cc_pair(stats["num_FISH"])
             num_ecDNA_FISH = stats["num_ecDNA_FISH"]
             num_HSR = stats["num_HSR"]
-            num_FISH2 = stats["num_FISH2"]
+            num_FISH2 = _cc_pair(stats["num_FISH2"])
             num_FISH_FISH2 = stats["num_FISH_FISH2"]
             num_ecDNA_FISH2 = stats["num_ecDNA_FISH2"]
             num_ecDNA_FISH_FISH2 = stats["num_ecDNA_FISH_FISH2"]

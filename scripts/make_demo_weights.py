@@ -69,6 +69,12 @@ def main(argv=None) -> int:
         action="store_true",
         help="skip generating missing example_* input images",
     )
+    ap.add_argument(
+        "--force",
+        action="store_true",
+        help="overwrite existing .npz weight files (by default existing "
+        "weights -- e.g. real converted checkpoints -- are left untouched)",
+    )
     args = ap.parse_args(argv)
 
     from ecseg_tpu.models import demo
@@ -79,21 +85,19 @@ def main(argv=None) -> int:
     os.makedirs(args.model_dir, exist_ok=True)
     os.makedirs(args.interseg_dir, exist_ok=True)
 
-    out = os.path.join(args.model_dir, "metaseg.npz")
-    save_npz_pytree(out, demo.demo_metaseg_params())
-    print("wrote", out)
+    def _write(out, tree_fn):
+        # never silently clobber real converted weights (convert_tf1_ckpt.py
+        # et al. write to these exact paths) with toy demo weights
+        if os.path.exists(out) and not args.force:
+            print("kept existing", out, "(use --force to overwrite)")
+            return
+        save_npz_pytree(out, tree_fn())
+        print("wrote", out)
 
-    out = os.path.join(args.model_dir, "nuset.npz")
-    save_npz_pytree(out, demo.demo_nuset_tree())
-    print("wrote", out)
-
-    out = os.path.join(args.interseg_dir, "interseg.npz")
-    save_npz_pytree(out, demo.demo_ecseg_i_params())
-    print("wrote", out)
-
-    out = os.path.join(args.interseg_dir, "ecseg_c.npz")
-    save_npz_pytree(out, demo.demo_ecseg_c_params())
-    print("wrote", out)
+    _write(os.path.join(args.model_dir, "metaseg.npz"), demo.demo_metaseg_params)
+    _write(os.path.join(args.model_dir, "nuset.npz"), demo.demo_nuset_tree)
+    _write(os.path.join(args.interseg_dir, "interseg.npz"), demo.demo_ecseg_i_params)
+    _write(os.path.join(args.interseg_dir, "ecseg_c.npz"), demo.demo_ecseg_c_params)
     return 0
 
 

@@ -41,6 +41,28 @@ def test_script_writes_all_four_files(demo_dirs):
     assert (demo_dirs / "interseg_models" / "ecseg_c.npz").exists()
 
 
+def test_script_keeps_existing_weights_without_force(demo_dirs, tmp_path):
+    """Real converted weights at the target paths must survive a rerun --
+    only --force overwrites (advisor finding r1)."""
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "make_demo_weights.py",
+    )
+    mdir, idir = tmp_path / "models", tmp_path / "interseg_models"
+    mdir.mkdir()
+    idir.mkdir()
+    sentinel = b"REAL-WEIGHTS-SENTINEL"
+    (mdir / "metaseg.npz").write_bytes(sentinel)
+    args = [sys.executable, script, "--model-dir", str(mdir),
+            "--interseg-dir", str(idir), "--no-inputs"]
+    subprocess.run(args, check=True)
+    assert (mdir / "metaseg.npz").read_bytes() == sentinel  # untouched
+    assert (mdir / "nuset.npz").exists()  # missing ones still written
+    subprocess.run(args + ["--force"], check=True)
+    assert (mdir / "metaseg.npz").read_bytes() != sentinel  # now replaced
+
+
 def test_metaseg_demo_weights_band_brightness(demo_dirs):
     from ecseg_tpu.pipelines.metaseg import load_model
 

@@ -60,6 +60,31 @@ def test_meta_overlay_end_to_end(overlay_folder):
     assert row["# of ecDNA (DAPI and red)"] == 0
 
 
+def test_meta_overlay_empty_fish_tuple_cells(tmp_path):
+    """An image whose FISH channels never clear color_sensitivity and whose
+    label map has no ecDNA must store "(0, 0.0)" -- the reference's
+    np.sum([]) float -- in the three count_cc CSV cells (reference
+    src/image_tools.py:114-119 via meta_overlay.py:70-71,79)."""
+    d = tmp_path / "ov_empty"
+    d.mkdir()
+    (d / "labels").mkdir()
+    (d / "dapi").mkdir()
+    H, W = 64, 64
+    rgb = np.full((H, W, 3), 20, np.uint8)  # everything below sensitivity 85
+    cv2.imwrite(str(d / "img.tif"), rgb[..., ::-1])
+    seg = np.zeros((H, W), np.int64)
+    seg[10:30, 10:30] = 1  # a nucleus, but no ecDNA anywhere
+    np.save(str(d / "labels" / "img.npy"), seg)
+
+    cfg = Config(raw={"meta_overlay": {"inpath": str(d), "color_sensitivity": 85}})
+    assert meta_overlay.main(config=cfg) == 0
+    df = pd.read_csv(os.path.join(str(d), "fish_quantification.csv"))
+    row = df.iloc[0]
+    assert row["# of ecDNA (DAPI)"] == "(0, 0.0)"
+    assert row["# of ecDNA (green)"] == "(0, 0.0)"
+    assert row["# of ecDNA (red)"] == "(0, 0.0)"
+
+
 def test_meta_overlay_validations(tmp_path):
     cfg = Config(
         raw={"meta_overlay": {"inpath": str(tmp_path), "color_sensitivity": 85}}

@@ -36,6 +36,20 @@ def test_dilate_erode_match_host(rng, fp):
     )
 
 
+@pytest.mark.parametrize("fp", [host.diamond(1), host.disk(2)])
+def test_erosion_border_value_matches_skimage(fp):
+    """skimage erosion pads with True: a solid border stripe must survive
+    erosion (regression: the device twin used to pad with False)."""
+    m = np.zeros((24, 40), bool)
+    m[:3, :] = True
+    m[:, -4:] = True
+    np.testing.assert_array_equal(
+        np.asarray(binary_erosion_tpu(jnp.asarray(m), fp)),
+        host.binary_erosion(m, fp),
+    )
+    assert np.asarray(binary_erosion_tpu(jnp.asarray(m), fp))[0, 10]
+
+
 @pytest.mark.parametrize("conn", [1, 2])
 @pytest.mark.parametrize("min_size", [1, 5, 20])
 def test_remove_small_objects_matches_host(rng, conn, min_size):

@@ -201,6 +201,27 @@ def test_counting_helpers_match_reference_code(reference_modules, rng):
     assert count_colocalization(a, b) == ref_image_tools.count_colocalization(a, b)
     assert count_HSR(a, b, 20) == ref_image_tools.count_HSR(a, b, 20)
 
+    # degenerate masks: the reference's unique(labels)[1:] quirk makes
+    # empty -> (0, 0.0) and all-foreground -> (1, 0.0), with FLOAT second
+    # elements (np.sum([])); these land verbatim in CSV tuple cells
+    for m in [
+        np.zeros((40, 50), bool),
+        np.ones((40, 50), bool),
+        np.zeros((1, 1), bool),
+        np.ones((1, 1), bool),
+    ]:
+        want = ref_image_tools.count_cc(m)
+        got = count_cc(m)
+        assert tuple(got) == tuple(want)
+        # float-ness must match the reference (np.sum([]) is a float);
+        # we return plain python scalars so str(tuple) reproduces the
+        # reference's *shipped* numpy-1.x CSV formatting even though this
+        # box runs numpy 2 (where np scalars repr as np.int64(...))
+        assert type(got[0]) is int and type(got[1]) in (int, float)
+        assert isinstance(got[1], float) == isinstance(want[1], (float, np.floating))
+        num1x = lambda v: repr(v.item()) if isinstance(v, np.generic) else repr(v)
+        assert str(tuple(got)) == f"({num1x(want[0])}, {num1x(want[1])})"
+
 
 def test_overlap_tiling_matches_reference_code(reference_modules, rng):
     ref_image_tools = reference_modules["image_tools"]
