@@ -79,7 +79,7 @@ def _sizes(arch: str):
     return BATCH_TILES, NCHUNKS
 
 
-def build(arch: str = "default"):
+def build(arch: str = "default", full: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -88,6 +88,8 @@ def build(arch: str = "default"):
     from ecseg_tpu.ops.cc_pallas import count_cc_from_patches
 
     batch_tiles, nchunks = _sizes(arch)
+    if full:
+        batch_tiles = max(4, batch_tiles // 4)
     h = w = 1024
     positions = tuple(map(tuple, tiling.patch_positions(h, w)))
 
@@ -108,10 +110,32 @@ def build(arch: str = "default"):
         num_ec, _ = count_cc_from_patches(labels, positions, class_id=3)
         return num_ec
 
+    def tile_fn_full(params, patches):
+        # the PRODUCT per-image program: forward -> stitch -> device
+        # meta_inference -> final ec component count (pipelines/metaseg
+        # _segment_post_jit dataflow)
+        from ecseg_tpu.ops.meta_post_tpu import (
+            count_roots_tpu,
+            meta_inference_tpu,
+        )
+
+        probs = metaseg_unet.forward(params, patches, dtype=jnp.bfloat16)
+        canvas = tiling.stitch_argmax_jax(probs, positions)
+        out, _ok = meta_inference_tpu(canvas)
+        return count_roots_tpu(out == 3)
+
+    fn = tile_fn_full if full else tile_fn
+
     @jax.jit
     def run(params, chunks):  # (NCHUNKS, BATCH, 25, 256, 256, 1) -> counts
         def step(carry, idx):
-            counts = jax.vmap(lambda t: tile_fn(params, t))(chunks[idx % nchunks])
+            batch = chunks[idx % nchunks]
+            if full:
+                # meta_inference's Pallas labelings run per canvas;
+                # lax.map keeps them un-vmapped
+                counts = jax.lax.map(lambda t: fn(params, t), batch)
+            else:
+                counts = jax.vmap(lambda t: fn(params, t))(batch)
             return carry, counts
 
         _, out = jax.lax.scan(step, 0, jnp.arange(nchunks * PASSES))
@@ -133,14 +157,13 @@ def build(arch: str = "default"):
     return run, params, jnp.asarray(chunks)
 
 
-def measure(arch: str):
-    batch_tiles, nchunks = _sizes(arch)
-    run, params, chunks = build(arch)
+def measure(arch: str, full: bool = False):
+    run, params, chunks = build(arch, full=full)
     counts = np.asarray(run(params, chunks))  # compile + sync
     assert int(counts[0, 0]) > 10, "mask degenerated; bench invalid"
     np.asarray(run(params, chunks))  # warmup
 
-    total = nchunks * batch_tiles * PASSES
+    total = chunks.shape[0] * chunks.shape[1] * PASSES
     t0 = time.perf_counter()
     for _ in range(REPS):
         np.asarray(run(params, chunks))  # host sync every call
@@ -207,6 +230,13 @@ def main():
     per_chip = measure(arch) / n_chips
     out = sys.stderr if arch == "xl" else sys.stdout
     print(json.dumps(_result(arch, per_chip, n_chips)), file=out, flush=True)
+
+    if "--full" in sys.argv:
+        # full product path incl. device meta_inference (stderr line)
+        full_per_chip = measure(arch, full=True) / n_chips
+        r = _result(arch, full_per_chip, n_chips)
+        r["metric"] += " [full-pipeline: + device meta_inference]"
+        print(json.dumps(r), file=sys.stderr, flush=True)
 
     if arch == "default" and "--flagship-only" not in sys.argv:
         # full-width U-Net: measured every run so both numbers land in the

@@ -1,18 +1,28 @@
-"""Keras-H5 -> JAX weight import.
+"""Keras checkpoint -> JAX weight import.
 
-The reference's metaseg model exists only as a Keras HDF5 blob
+The reference's metaseg model exists only as a Keras blob
 (``models/metaseg.h5``, loaded at reference src/utils.py:27-33); its
 architecture is not in code anywhere.  This module reconstructs the layer
-graph from the H5's embedded ``model_config`` JSON (present in every Keras
-H5 save) and executes it as a pure JAX function, so the blob drops into the
-TPU pipeline without TensorFlow.
+graph from the checkpoint's embedded config JSON and executes it as a pure
+JAX function, so the blob drops into the TPU pipeline without TensorFlow.
+
+Two container formats are supported:
+
+- legacy Keras HDF5 (``.h5`` with an embedded ``model_config`` attr and
+  per-layer ``model_weights`` groups) -- what tf.keras <= 2.x and
+  ``save_format="h5"`` produce, and the likely format of the real
+  metaseg.h5;
+- Keras 3 native ``.keras`` zip archives (``config.json`` +
+  ``model.weights.h5`` whose groups are snake-cased class names deduped
+  per container) via :func:`import_keras_file`.
 
 Supported layer types cover the conv-U-Net/classifier families these
-pipelines use: InputLayer, Conv2D, Conv2DTranspose, MaxPooling2D,
-AveragePooling2D, UpSampling2D, Concatenate, Add, Activation (+fused
-activations), BatchNormalization (inference mode), Dropout (no-op),
-ZeroPadding2D, Cropping2D, Rescaling, Dense, Flatten,
-GlobalAveragePooling2D.
+pipelines use: InputLayer, Conv2D, Conv2DTranspose, SeparableConv2D,
+DepthwiseConv2D, MaxPooling2D, AveragePooling2D, UpSampling2D, Concatenate,
+Add, Activation (+fused activations), BatchNormalization (inference mode),
+Dropout (no-op), ZeroPadding2D, Cropping2D, Rescaling, Dense, Flatten,
+GlobalAveragePooling2D, plus nested Functional/Sequential sub-models
+(including multi-output sub-models consumed at tensor indices > 0).
 
 Also provides flat .npz pytree save/load used to cache converted weights.
 """
@@ -20,6 +30,7 @@ Also provides flat .npz pytree save/load used to cache converted weights.
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Callable, Dict, List, Tuple
 
 import jax
@@ -79,26 +90,95 @@ def _decode(v):
     return v.decode() if isinstance(v, bytes) else v
 
 
-def _layer_weights(h5, layer_name: str) -> List[np.ndarray]:
-    """Fetch a layer's weight tensors in Keras order from the H5 file."""
-    mw = h5["model_weights"] if "model_weights" in h5 else h5
-    if layer_name not in mw:
-        return []
-    grp = mw[layer_name]
-    names = [_decode(n) for n in grp.attrs.get("weight_names", [])]
-    if names:
-        return [np.array(grp[n]) for n in names]
-    # fall back: walk the group
-    out = []
+class _LegacyH5Fetcher:
+    """Weight lookup for legacy Keras H5 saves: per-layer groups under
+    ``model_weights`` keyed by the USER layer name, ordered by the group's
+    ``weight_names`` attr.  Nested sub-models keep one group whose
+    weight_names are slash paths relative to it (``subconv/kernel:0``)."""
 
-    def visit(_, obj):
-        import h5py
+    def __init__(self, group, names: List[str] = None):
+        self.group = group
+        self.names = names  # relative weight paths when nested
 
-        if isinstance(obj, h5py.Dataset):
-            out.append(np.array(obj))
+    def fetch(self, layer_name: str) -> List[np.ndarray]:
+        if self.names is not None:
+            sel = [n for n in self.names if n.split("/", 1)[0] == layer_name]
+            return [np.array(self.group[n]) for n in sel]
+        if layer_name not in self.group:
+            return []
+        grp = self.group[layer_name]
+        names = [_decode(n) for n in grp.attrs.get("weight_names", [])]
+        if names:
+            return [np.array(grp[n]) for n in names]
+        out = []
 
-    grp.visititems(visit)
+        def visit(_, obj):
+            import h5py
+
+            if isinstance(obj, h5py.Dataset):
+                out.append(np.array(obj))
+
+        grp.visititems(visit)
+        return out
+
+    def child(self, layer_name: str, child_layers_cfg) -> "_LegacyH5Fetcher":
+        if self.names is not None:
+            sub = [
+                n.split("/", 1)[1]
+                for n in self.names
+                if n.split("/", 1)[0] == layer_name and "/" in n
+            ]
+            return _LegacyH5Fetcher(self.group[layer_name], sub)
+        grp = self.group[layer_name]
+        names = [_decode(n) for n in grp.attrs.get("weight_names", [])]
+        return _LegacyH5Fetcher(grp, names)
+
+
+def _to_snake_case(name: str) -> str:
+    """keras.src.utils.naming.to_snake_case (Conv2D -> conv2d)."""
+    name = re.sub(r"\W+", "", name)
+    name = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
+    name = re.sub(r"([a-z])([A-Z])", r"\1_\2", name).lower()
+    return name
+
+
+def _k3_group_names(layers_cfg) -> Dict[str, str]:
+    """Config layer name -> weights-H5 group name for Keras 3 saves: the
+    snake-cased class name, deduped per container in config (creation)
+    order with _1, _2... suffixes."""
+    counts: Dict[str, int] = {}
+    out: Dict[str, str] = {}
+    for lc in layers_cfg:
+        base = _to_snake_case(lc["class_name"])
+        k = counts.get(base, 0)
+        counts[base] = k + 1
+        out[lc["config"]["name"]] = base if k == 0 else f"{base}_{k}"
     return out
+
+
+class _K3Fetcher:
+    """Weight lookup for Keras 3 ``model.weights.h5``: groups
+    ``layers/<snake_class[_N]>/vars/{0,1,...}``; nested models add another
+    ``layers`` level."""
+
+    def __init__(self, layers_group, layers_cfg):
+        self.group = layers_group
+        self.map = _k3_group_names(layers_cfg)
+
+    def fetch(self, layer_name: str) -> List[np.ndarray]:
+        key = self.map.get(layer_name)
+        if key is None or self.group is None or key not in self.group:
+            return []
+        g = self.group[key]
+        if "vars" not in g:
+            return []
+        vars_g = g["vars"]
+        return [np.array(vars_g[i]) for i in sorted(vars_g.keys(), key=int)]
+
+    def child(self, layer_name: str, child_layers_cfg) -> "_K3Fetcher":
+        key = self.map[layer_name]
+        sub = self.group[key]["layers"] if key in self.group else None
+        return _K3Fetcher(sub, child_layers_cfg)
 
 
 class KerasModel:
@@ -142,6 +222,7 @@ def _pool2(x, size, stride, padding, op):
 
 
 def import_keras_h5(path: str) -> KerasModel:
+    """Legacy Keras H5 whole-model save -> KerasModel."""
     import h5py
 
     with h5py.File(path, "r") as h5:
@@ -149,68 +230,129 @@ def import_keras_h5(path: str) -> KerasModel:
         if cfg_raw is None:
             raise ValueError(f"{path} has no embedded model_config")
         cfg = json.loads(_decode(cfg_raw))
-        model_cfg = cfg["config"]
-        class_name = cfg["class_name"]
+        mw = h5["model_weights"] if "model_weights" in h5 else h5
+        return _import_from_config(cfg, _LegacyH5Fetcher(mw))
 
-        layers_cfg = model_cfg["layers"]
-        params: Dict[str, Any] = {}
-        # steps: (out key (name, node_idx), input refs [(name, node_idx)], fn)
-        steps: List[Tuple[Tuple[str, int], List[Tuple[str, int]], Callable]] = []
 
-        if class_name == "Sequential":
-            prev = ("__input__", 0)
-            inputs = ["__input__"]
-            for lc in layers_cfg:
-                if lc["class_name"] == "InputLayer":
-                    continue
-                name = lc["config"]["name"]
-                fn = _make_layer_fn(lc, name, h5, params)
-                if fn is None:
-                    continue
-                steps.append(((name, 0), [prev], fn))
-                prev = (name, 0)
-            outputs = [prev]
-        else:  # Functional
-            inputs = []
-            for lc in layers_cfg:
-                name = lc["config"]["name"]
-                if lc["class_name"] == "InputLayer":
-                    inputs.append(name)
-                    continue
-                nodes = _inbound_refs(lc)
-                fn = _make_layer_fn(lc, name, h5, params)
-                if fn is None:  # identity layer (Dropout etc.)
-                    fn = lambda p, xs: xs[0]
-                # a shared layer is called once per inbound node; every call
-                # reuses the same weights but gets its own env slot
-                for node_idx, in_refs in enumerate(nodes):
-                    steps.append(((name, node_idx), in_refs, fn))
-            out_spec = model_cfg.get("output_layers", [])
-            if out_spec:
-                outputs = [(o[0], o[1] if len(o) > 1 else 0) for o in out_spec]
-            else:
-                outputs = [steps[-1][0]]
+def import_keras_file(path: str) -> KerasModel:
+    """Any supported Keras checkpoint: a Keras 3 native ``.keras`` zip
+    archive or a legacy ``.h5`` save."""
+    import zipfile
 
-            # The config lists layers in creation order; with shared layers a
-            # later-created producer can feed an earlier layer's second call,
-            # so execute in dependency order (Kahn) instead.
-            available = {(name, 0) for name in inputs}
-            ordered, remaining = [], steps
-            while remaining:
-                rest = []
-                for s in remaining:
-                    if all(r in available for r in s[1]):
-                        ordered.append(s)
-                        available.add(s[0])
-                    else:
-                        rest.append(s)
-                if len(rest) == len(remaining):
-                    missing = {r for s in remaining for r in s[1]} - available
-                    raise ValueError(
-                        f"unresolvable layer graph; missing producers: {missing}"
-                    )
-                remaining = rest
-            steps = ordered
+    if zipfile.is_zipfile(path):
+        import io
+
+        import h5py
+
+        with zipfile.ZipFile(path) as z:
+            cfg = json.loads(z.read("config.json"))
+            with h5py.File(io.BytesIO(z.read("model.weights.h5")), "r") as wh5:
+                layers_group = wh5["layers"] if "layers" in wh5 else None
+                fetcher = _K3Fetcher(
+                    layers_group, cfg["config"].get("layers", [])
+                )
+                return _import_from_config(cfg, fetcher)
+    return import_keras_h5(path)
+
+
+def _import_from_config(cfg: Dict, fetcher) -> KerasModel:
+    params: Dict[str, Any] = {}
+    forward = _build_model_fn(cfg["class_name"], cfg["config"], fetcher, params)
+    return KerasModel(params, forward, cfg)
+
+
+def _pick(value, tensor_idx: int):
+    """Select one tensor from a producer's output (multi-output producers
+    return lists)."""
+    if isinstance(value, (list, tuple)):
+        return value[tensor_idx]
+    if tensor_idx not in (0, None):
+        raise ValueError(
+            f"tensor index {tensor_idx} requested from single-output producer"
+        )
+    return value
+
+
+def _build_model_fn(class_name: str, model_cfg: Dict, fetcher, params) -> Callable:
+    """Compile a (possibly nested) Keras model config into
+    ``forward(params, x_or_list) -> tensor_or_list``."""
+    layers_cfg = model_cfg["layers"]
+    # steps: (out key (name, node_idx), input refs [(name, node_idx,
+    # tensor_idx)], fn)
+    steps: List[Tuple[Tuple[str, int], List[Tuple[str, int, int]], Callable]] = []
+
+    if class_name == "Sequential":
+        prev = ("__input__", 0, 0)
+        inputs = ["__input__"]
+        for lc in layers_cfg:
+            if lc["class_name"] == "InputLayer":
+                continue
+            name = lc["config"]["name"]
+            fn = _make_layer_fn(lc, name, fetcher, params)
+            if fn is None:
+                continue
+            steps.append(((name, 0), [prev], fn))
+            prev = (name, 0, 0)
+        outputs = [prev]
+    else:  # Functional / Model
+        inputs = []
+        for lc in layers_cfg:
+            name = lc["config"]["name"]
+            if lc["class_name"] == "InputLayer":
+                inputs.append(name)
+                continue
+            nodes = _inbound_refs(lc)
+            fn = _make_layer_fn(lc, name, fetcher, params)
+            if fn is None:  # identity layer (Dropout etc.)
+                fn = lambda p, xs: xs[0]
+            # a shared layer is called once per inbound node; every call
+            # reuses the same weights but gets its own env slot.  In the
+            # LEGACY format, nested models carry an implicit construction
+            # node at index 0 (their internal graph), so their serialized
+            # call indices start at 1; Keras 3 dict-format refs count calls
+            # from 0.
+            raw_nodes = lc.get("inbound_nodes", [])
+            legacy_fmt = bool(raw_nodes) and not isinstance(raw_nodes[0], dict)
+            nested = lc["class_name"] in ("Functional", "Model", "Sequential")
+            offset = 1 if (nested and legacy_fmt) else 0
+            for node_idx, in_refs in enumerate(nodes):
+                steps.append(((name, offset + node_idx), in_refs, fn))
+        out_spec = model_cfg.get("output_layers", [])
+        if out_spec and isinstance(out_spec[0], str):
+            out_spec = [out_spec]  # Keras 3 single-output flat form
+        if out_spec:
+            outputs = [
+                (
+                    o[0],
+                    o[1] if len(o) > 1 else 0,
+                    o[2] if len(o) > 2 else 0,
+                )
+                for o in out_spec
+            ]
+        else:
+            n, i = steps[-1][0]
+            outputs = [(n, i, 0)]
+
+        # The config lists layers in creation order; with shared layers a
+        # later-created producer can feed an earlier layer's second call,
+        # so execute in dependency order (Kahn) instead.
+        available = {(name, 0) for name in inputs}
+        ordered, remaining = [], steps
+        while remaining:
+            rest = []
+            for s in remaining:
+                if all(r[:2] in available for r in s[1]):
+                    ordered.append(s)
+                    available.add(s[0])
+                else:
+                    rest.append(s)
+            if len(rest) == len(remaining):
+                missing = {r[:2] for s in remaining for r in s[1]} - available
+                raise ValueError(
+                    f"unresolvable layer graph; missing producers: {missing}"
+                )
+            remaining = rest
+        steps = ordered
 
     def forward(p, x):
         if len(inputs) == 1:
@@ -218,33 +360,36 @@ def import_keras_h5(path: str) -> KerasModel:
         else:
             env = {(name, 0): xi for name, xi in zip(inputs, x)}
         for (out, ins, fn) in steps:
-            env[out] = fn(p, [env[i] for i in ins])
-        res = [env[o] for o in outputs]
+            env[out] = fn(p, [_pick(env[(n, i)], t) for (n, i, t) in ins])
+        res = [_pick(env[(n, i)], t) for (n, i, t) in outputs]
         return res[0] if len(res) == 1 else res
 
-    return KerasModel(params, forward, cfg)
+    return forward
 
 
-def _inbound_refs(layer_cfg) -> List[List[Tuple[str, int]]]:
-    """All inbound nodes of a layer as [(producer_name, producer_node_idx)]
-    lists -- one entry per call of the layer (shared layers have several).
-    Handles both the legacy nested-list format and the Keras 3 dict format.
-    A producer's node index selects WHICH call of a shared producer feeds
-    this layer."""
-    out: List[List[Tuple[str, int]]] = []
+def _inbound_refs(layer_cfg) -> List[List[Tuple[str, int, int]]]:
+    """All inbound nodes of a layer as [(producer_name, producer_node_idx,
+    producer_tensor_idx)] lists -- one entry per call of the layer (shared
+    layers have several).  Handles both the legacy nested-list format and
+    the Keras 3 dict format.  The node index selects WHICH call of a shared
+    producer feeds this layer; the tensor index selects which output of a
+    multi-output producer (e.g. a nested sub-model)."""
+    out: List[List[Tuple[str, int, int]]] = []
     for node in layer_cfg.get("inbound_nodes", []):
         if isinstance(node, dict):  # Keras 3 style
-            refs: List[Tuple[str, int]] = []
+            refs: List[Tuple[str, int, int]] = []
 
             def walk(a):
                 if isinstance(a, dict):
                     hist = a.get("config", {}).get("keras_history")
                     if hist is not None:
-                        if len(hist) > 2 and hist[2] not in (0, None):
-                            raise NotImplementedError(
-                                "multi-output producer tensors not supported"
+                        refs.append(
+                            (
+                                hist[0],
+                                hist[1] if len(hist) > 1 else 0,
+                                hist[2] if len(hist) > 2 else 0,
                             )
-                        refs.append((hist[0], hist[1] if len(hist) > 1 else 0))
+                        )
                         return
                     for v in a.values():
                         walk(v)
@@ -255,24 +400,59 @@ def _inbound_refs(layer_cfg) -> List[List[Tuple[str, int]]]:
             walk(node.get("args", []))
             out.append(refs)
         else:  # legacy: [[name, node_idx, tensor_idx, kwargs], ...]
-            refs = []
-            for entry in node:
-                if len(entry) > 2 and entry[2] not in (0, None):
-                    raise NotImplementedError(
-                        "multi-output producer tensors not supported"
-                    )
-                refs.append((entry[0], entry[1] if len(entry) > 1 else 0))
+            refs = [
+                (
+                    entry[0],
+                    entry[1] if len(entry) > 1 else 0,
+                    entry[2] if len(entry) > 2 else 0,
+                )
+                for entry in node
+            ]
             out.append(refs)
     return out
 
 
-def _make_layer_fn(lc, name, h5, params):
+def _depthwise_conv(x, kernel, stride: int, padding: str):
+    """Keras DepthwiseConv2D semantics: kernel (h, w, in_ch, mult) ->
+    grouped conv with feature_group_count = in_ch; output channel order
+    g * mult + m matches Keras."""
+    from jax import lax
+
+    h, w, in_ch, mult = kernel.shape
+    rhs = kernel.reshape(h, w, 1, in_ch * mult)
+    return lax.conv_general_dilated(
+        x,
+        rhs,
+        (stride, stride),
+        padding.upper(),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=in_ch,
+    )
+
+
+def _make_layer_fn(lc, name, fetcher, params):
     cls = lc["class_name"]
     c = lc["config"]
     act = _ACTIVATIONS.get(c.get("activation", "linear"), lambda x: x)
 
     if cls in ("Dropout", "SpatialDropout2D", "GaussianNoise"):
         return None
+    if cls in ("Functional", "Model", "Sequential"):
+        # nested sub-model: compile recursively; its params live under the
+        # sub-model's name, its weights under the sub-model's weight scope
+        subparams: Dict[str, Any] = {}
+        subfwd = _build_model_fn(
+            "Sequential" if cls == "Sequential" else "Functional",
+            c,
+            fetcher.child(name, c.get("layers", [])),
+            subparams,
+        )
+        params[name] = subparams
+
+        def nested_fn(p, xs, _name=name, _fwd=subfwd):
+            return _fwd(p[_name], xs if len(xs) > 1 else xs[0])
+
+        return nested_fn
     if cls == "Activation":
         a = _ACTIVATIONS[c["activation"]]
         return lambda p, xs: a(xs[0])
@@ -330,7 +510,7 @@ def _make_layer_fn(lc, name, h5, params):
         (t, b), (l, r) = cr
         return lambda p, xs: xs[0][:, t : xs[0].shape[1] - b, l : xs[0].shape[2] - r, :]
     if cls == "Conv2D":
-        w = _layer_weights(h5, name)
+        w = fetcher.fetch(name)
         params[name] = {"kernel": jnp.asarray(w[0])}
         use_bias = c.get("use_bias", True) and len(w) > 1
         if use_bias:
@@ -349,8 +529,53 @@ def _make_layer_fn(lc, name, h5, params):
             return _act(y)
 
         return conv_fn
+    if cls == "DepthwiseConv2D":
+        w = fetcher.fetch(name)
+        params[name] = {"kernel": jnp.asarray(w[0])}
+        use_bias = c.get("use_bias", True) and len(w) > 1
+        if use_bias:
+            params[name]["bias"] = jnp.asarray(w[1])
+        stride = tuple(c["strides"])
+        pad = c["padding"]
+
+        def dwconv_fn(p, xs, _name=name, _act=act, _stride=stride, _pad=pad, _ub=use_bias):
+            y = _depthwise_conv(
+                xs[0].astype(jnp.float32), p[_name]["kernel"], _stride[0], _pad
+            )
+            if _ub:
+                y = y + p[_name]["bias"]
+            return _act(y)
+
+        return dwconv_fn
+    if cls == "SeparableConv2D":
+        w = fetcher.fetch(name)
+        # weight order: depthwise_kernel, pointwise_kernel[, bias]
+        params[name] = {
+            "depthwise": jnp.asarray(w[0]),
+            "pointwise": jnp.asarray(w[1]),
+        }
+        use_bias = c.get("use_bias", True) and len(w) > 2
+        if use_bias:
+            params[name]["bias"] = jnp.asarray(w[2])
+        stride = tuple(c["strides"])
+        pad = c["padding"]
+
+        def sepconv_fn(p, xs, _name=name, _act=act, _stride=stride, _pad=pad, _ub=use_bias):
+            y = _depthwise_conv(
+                xs[0].astype(jnp.float32), p[_name]["depthwise"], _stride[0], _pad
+            )
+            y = conv2d(
+                y,
+                p[_name]["pointwise"],
+                p[_name]["bias"] if _ub else None,
+                stride=1,
+                padding="SAME",
+            )
+            return _act(y)
+
+        return sepconv_fn
     if cls == "Conv2DTranspose":
-        w = _layer_weights(h5, name)
+        w = fetcher.fetch(name)
         # Keras stores transpose-conv kernels as (H, W, out_ch, in_ch):
         # transpose to our HWIO = (H, W, in_ch, out_ch).
         params[name] = {"kernel": jnp.asarray(np.transpose(w[0], (0, 1, 3, 2)))}
@@ -370,7 +595,7 @@ def _make_layer_fn(lc, name, h5, params):
 
         return deconv_fn
     if cls == "Dense":
-        w = _layer_weights(h5, name)
+        w = fetcher.fetch(name)
         params[name] = {"kernel": jnp.asarray(w[0])}
         use_bias = c.get("use_bias", True) and len(w) > 1
         if use_bias:
@@ -384,7 +609,7 @@ def _make_layer_fn(lc, name, h5, params):
 
         return dense_fn
     if cls == "BatchNormalization":
-        w = list(_layer_weights(h5, name))
+        w = list(fetcher.fetch(name))
         # Keras weight order: [gamma if scale] + [beta if center] +
         # [moving_mean, moving_variance]
         scale = c.get("scale", True)

@@ -84,40 +84,59 @@ def init_rpn_params(key, num_ref_anchors: int) -> Dict:
     }
 
 
-def _block(p, name_a, name_b, x):
-    x = relu(conv2d(x, p[name_a]["kernel"], p[name_a]["bias"]))
-    x = relu(conv2d(x, p[name_b]["kernel"], p[name_b]["bias"]))
-    return x
-
-
-def unet_forward(p: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def unet_forward(
+    p: Dict, x: jnp.ndarray, valid_hw: Tuple[int, int] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(1, H, W, 1) normalized image -> (final_logits (1,H,W,2),
-    rpn_feature (1,H/16,W/16,512)).  Mirrors reference models.py:5-136."""
+    rpn_feature (1,H/16,W/16,512)).  Mirrors reference models.py:5-136.
+
+    ``valid_hw``: when the input is zero-padded up to a compile bucket
+    (models/nuset_infer geometry bucketing), the true (H, W) extent.  Every
+    activation is re-zeroed beyond the valid extent after each conv, so a
+    valid output position computes EXACTLY what the unpadded program would
+    (same-pad zero semantics at the true boundary; pool windows never
+    straddle the boundary because both the crop and the buckets are /16).
+    """
+
+    def m(x, level):
+        if valid_hw is None:
+            return x
+        vh, vw = valid_hw[0] >> level, valid_hw[1] >> level
+        if vh == x.shape[1] and vw == x.shape[2]:
+            return x
+        return x.at[:, vh:, :, :].set(0.0).at[:, :, vw:, :].set(0.0)
+
+    def block(name_a, name_b, x, level):
+        x = m(relu(conv2d(x, p[name_a]["kernel"], p[name_a]["bias"])), level)
+        x = m(relu(conv2d(x, p[name_b]["kernel"], p[name_b]["bias"])), level)
+        return x
+
+    x = m(x, 0)
     skips = []
     for i in range(1, 5):
-        x = _block(p, f"conv{i}-1", f"conv{i}-2", x)
+        x = block(f"conv{i}-1", f"conv{i}-2", x, i - 1)
         skips.append(x)
         x = max_pool(x)
     rpn_feature = x
 
-    x = _block(p, "conv5-1", "conv5-2", x)
+    x = block("conv5-1", "conv5-2", x, 4)
 
     # Up 4: relu, NO skip (models.py:79-100)
-    x = relu(conv2d_transpose(x, p["deconv4"]["kernel"], p["deconv4"]["bias"]))
-    x = _block(p, "conv4-3", "conv4-4", x)
+    x = m(relu(conv2d_transpose(x, p["deconv4"]["kernel"], p["deconv4"]["bias"])), 3)
+    x = block("conv4-3", "conv4-4", x, 3)
 
     # Up 3..1: concat skip, NO relu on the transpose conv
-    x = conv2d_transpose(x, p["deconv3"]["kernel"], p["deconv3"]["bias"])
+    x = m(conv2d_transpose(x, p["deconv3"]["kernel"], p["deconv3"]["bias"]), 2)
     x = jnp.concatenate([skips[2], x], axis=-1)
-    x = _block(p, "conv3-3", "conv3-4", x)
+    x = block("conv3-3", "conv3-4", x, 2)
 
-    x = conv2d_transpose(x, p["deconv2"]["kernel"], p["deconv2"]["bias"])
+    x = m(conv2d_transpose(x, p["deconv2"]["kernel"], p["deconv2"]["bias"]), 1)
     x = jnp.concatenate([skips[1], x], axis=-1)
-    x = _block(p, "conv2-3", "conv2-4", x)
+    x = block("conv2-3", "conv2-4", x, 1)
 
-    x = conv2d_transpose(x, p["deconv1"]["kernel"], p["deconv1"]["bias"])
+    x = m(conv2d_transpose(x, p["deconv1"]["kernel"], p["deconv1"]["bias"]), 0)
     x = jnp.concatenate([skips[0], x], axis=-1)
-    x = _block(p, "conv1-3", "conv1-4", x)
+    x = block("conv1-3", "conv1-4", x, 0)
 
     logits = conv2d(x, p["final"]["kernel"], None)
     return logits, rpn_feature

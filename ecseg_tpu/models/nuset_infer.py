@@ -74,20 +74,29 @@ def init_nuset_model(
     )
 
 
-@jax.jit
-def _mask_pass(unet_params: Dict, image: jnp.ndarray):
-    """Pass 1: normalized image (1, H, W, 1) -> fg mask (H, W) float32."""
-    logits, _ = nuset.unet_forward(unet_params, image)
-    return nuset.pred_mask(logits)
+@functools.partial(jax.jit, static_argnames=("valid_hw",))
+def _mask_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
+    """Pass 1: normalized image (1, H, W, 1) -> fg mask (H, W) float32,
+    cropped to ``valid_hw`` when the input was bucket-padded."""
+    logits, _ = nuset.unet_forward(unet_params, image, valid_hw)
+    mask = nuset.pred_mask(logits)
+    if valid_hw is not None:
+        mask = mask[: valid_hw[0], : valid_hw[1]]
+    return mask
 
 
-@jax.jit
-def _mask_and_feat_pass(unet_params: Dict, image: jnp.ndarray):
-    logits, feat = nuset.unet_forward(unet_params, image)
-    return nuset.pred_mask(logits), feat
+@functools.partial(jax.jit, static_argnames=("valid_hw",))
+def _mask_and_feat_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
+    logits, feat = nuset.unet_forward(unet_params, image, valid_hw)
+    mask = nuset.pred_mask(logits)
+    if valid_hw is not None:
+        mask = mask[: valid_hw[0], : valid_hw[1]]
+    return mask, feat
 
 
-@functools.partial(jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n"))
+@functools.partial(
+    jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n", "valid_grid")
+)
 def _proposal_pass(
     rpn_params: Dict,
     feat: jnp.ndarray,
@@ -96,9 +105,17 @@ def _proposal_pass(
     nms_threshold: float,
     pre_nms_top_n: int = box_ops.PRE_NMS_TOP_N,
     post_nms_top_n: int = box_ops.POST_NMS_TOP_N,
+    valid_grid: Tuple[int, int] = None,
 ):
     """RPN head + proposal filtering (reference rpn_proposal.py:4-187) with
-    static budgets.  Returns (proposals (P,4), scores (P,), valid (P,))."""
+    static budgets.  Returns (proposals (P,4), scores (P,), valid (P,)).
+
+    ``valid_grid``: when ``feat`` comes from a bucket-padded image, the true
+    (H/16, W/16) anchor-grid extent; anchors at padded positions are masked
+    to -inf score, which reproduces the unpadded selection exactly (valid
+    anchors keep identical scores and relative raster order, so top-k and
+    NMS tie-breaking are unchanged; -inf fillers never become valid
+    proposals)."""
     pred = nuset.rpn_forward(rpn_params, feat)
     all_scores = pred["rpn_cls_prob"][:, 1]
     all_proposals = box_ops.decode(all_anchors, pred["rpn_bbox_pred"])
@@ -107,7 +124,15 @@ def _proposal_pass(
     zero_area = (
         jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0) > 0.0
     )
-    scores = jnp.where(zero_area, all_scores, -jnp.inf)
+    keep = zero_area
+    if valid_grid is not None:
+        gh, gw = feat.shape[1], feat.shape[2]
+        a = all_scores.shape[0] // (gh * gw)
+        rows = jnp.arange(gh * gw * a, dtype=jnp.int32) // (gw * a)
+        cols = (jnp.arange(gh * gw * a, dtype=jnp.int32) // a) % gw
+        in_grid = jnp.logical_and(rows < valid_grid[0], cols < valid_grid[1])
+        keep = jnp.logical_and(keep, in_grid)
+    scores = jnp.where(keep, all_scores, -jnp.inf)
 
     k = min(pre_nms_top_n, scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)
@@ -127,27 +152,59 @@ def _proposal_pass(
     return proposals, scores_out, valid
 
 
+BUCKET = 128  # compile-geometry bucket granularity (/16-aligned)
+
+
+def _bucket_dim(d: int) -> int:
+    return max(BUCKET, -(-d // BUCKET) * BUCKET)
+
+
+def _bucket_enabled() -> bool:
+    import os
+
+    return os.environ.get("ECSEG_NUSET_BUCKET", "1") not in ("0", "false")
+
+
 def nuset_forward(
-    model: NuSeTModel, image_norm: np.ndarray, pass_two: bool
+    model: NuSeTModel, image_norm: np.ndarray, pass_two: bool,
+    bucket: bool = None,
 ) -> np.ndarray:
     """One full graph evaluation on a normalized (H, W) float image.
 
     pass_two=False: binary mask only (sess1 protocol).
     pass_two=True: mask + RPN proposals + marker watershed (sess2 protocol).
-    """
-    H, W = image_norm.shape
-    x = jnp.asarray(image_norm, jnp.float32).reshape(1, H, W, 1)
-    if not pass_two:
-        return np.asarray(_mask_pass(model.unet_whole, x))
 
-    mask_dev, feat = _mask_and_feat_pass(model.unet_fg, x)
-    mask = np.asarray(mask_dev)
+    Geometry bucketing (on by default; ECSEG_NUSET_BUCKET=0 disables): the
+    input is zero-padded up to BUCKET-multiples so a mixed-size folder
+    compiles only a handful of U-Net programs instead of one per distinct
+    geometry (the reference crops to /16, src/utils.py:138-141, which still
+    leaves arbitrarily many shapes; first compiles cost minutes on this
+    attachment).  The masked forward (models/nuset.unet_forward valid_hw)
+    and -inf anchor masking make the padded outputs bit-identical to the
+    unpadded program's.
+    """
+    if bucket is None:
+        bucket = _bucket_enabled()
+    H, W = image_norm.shape
+    Hb = _bucket_dim(H) if bucket else H
+    Wb = _bucket_dim(W) if bucket else W
+    valid_hw = (H, W) if (Hb, Wb) != (H, W) else None
+    if valid_hw is not None:
+        padded = np.zeros((Hb, Wb), np.float32)
+        padded[:H, :W] = image_norm
+        image_norm = padded
+    x = jnp.asarray(image_norm, jnp.float32).reshape(1, Hb, Wb, 1)
+    if not pass_two:
+        return np.asarray(_mask_pass(model.unet_whole, x, valid_hw))
+
+    mask_dev, feat = _mask_and_feat_pass(model.unet_fg, x, valid_hw)
+    mask = np.asarray(mask_dev)  # already cropped to (H, W)
 
     # host boundary #1: dynamic anchor base size (reference anchor_size.py)
     base_size = anchor_size_from_mask(mask)
     ref_anchors = box_ops.generate_anchors_reference(base_size, RATIOS, SCALES)
     all_anchors = box_ops.generate_anchors(
-        ref_anchors, STRIDE, (H // STRIDE, W // STRIDE)
+        ref_anchors, STRIDE, (Hb // STRIDE, Wb // STRIDE)
     )
 
     proposals, scores, valid = _proposal_pass(
@@ -156,6 +213,7 @@ def nuset_forward(
         jnp.asarray(all_anchors),
         (H, W),
         model.nms_threshold,
+        valid_grid=(H // STRIDE, W // STRIDE) if valid_hw is not None else None,
     )
     valid = np.asarray(valid)
     proposals = np.asarray(proposals)[valid]
@@ -167,12 +225,45 @@ def nuset_forward(
     ).astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def _cleanup_pass(mask_f32, out_hw, nuclei_size_t):
+    """Device twin of the post-watershed cleanup chain (reference
+    src/utils.py:153-163): clean_image -> rescale back -> min-max binarize
+    (incl. the uint8-truncation threshold and the all-equal -> empty NaN
+    quirk) -> remove_small_objects.  Returns uint8 {0, 255}."""
+    from ..ops.morphology_tpu import clean_image_tpu, remove_small_objects_tpu
+    from ..ops.resize import resize_linear_matmul
+
+    m = clean_image_tpu(mask_f32).astype(jnp.float32)  # {0, 1}
+    if tuple(out_hw) != tuple(mask_f32.shape):
+        m = resize_linear_matmul(m, out_hw)
+    lo, hi = m.min(), m.max()
+    # host: I8 = ((m-lo)/(hi-lo)*255).astype(uint8); I8 > 0  -- truncation
+    # makes the support threshold (m-lo) >= (hi-lo)/255; hi == lo divides
+    # 0/0 -> NaN -> uint8 0 on host, i.e. empty
+    supp = jnp.logical_and(
+        (m - lo) / (hi - lo) * 255.0 >= 1.0, hi > lo
+    )
+    keep = remove_small_objects_tpu(supp, nuclei_size_t, connectivity=1)
+    return keep.astype(jnp.uint8) * 255
+
+
 def nuclei_segment(
-    image: np.ndarray, model: NuSeTModel, nuclei_size_t: int
+    image: np.ndarray, model: NuSeTModel, nuclei_size_t: int,
+    device_cleanup: bool = None,
 ) -> np.ndarray:
     """reference src/utils.py:134-163: rescale 0.3 -> crop /16 -> pass 1
     (whole-image norm) -> pass 2 (foreground norm + watershed) -> clean ->
-    rescale back -> binarize -> remove_small_objects -> uint8 {0, 255}."""
+    rescale back -> binarize -> remove_small_objects -> uint8 {0, 255}.
+
+    The cleanup tail runs on device when ``device_cleanup`` (default: the
+    pipeline device-path switch, runtime/devicepath) -- the host chain below
+    stays as the parity oracle (tests/test_device_pipeline_e2e.py asserts
+    byte equality through stat_fish's main)."""
+    if device_cleanup is None:
+        from ..runtime.devicepath import use_device_path
+
+        device_cleanup = use_device_path()
     resize_scale = model.resize_scale
     if resize_scale != 1:
         image = rescale(image, resize_scale, anti_aliasing=True)
@@ -187,6 +278,30 @@ def nuclei_segment(
 
     image_fg = foreground_norm(image, masks1)
     masks_watershed = nuset_forward(model, image_fg, pass_two=True)
+
+    if device_cleanup:
+        if resize_scale != 1:
+            out_hw = tuple(
+                int(d)
+                for d in np.maximum(
+                    np.round(
+                        np.multiply(
+                            masks_watershed.shape, 1 / resize_scale
+                        )
+                    ),
+                    1,
+                )
+            )
+        else:
+            out_hw = masks_watershed.shape
+        return np.asarray(
+            _cleanup_pass(
+                jnp.asarray(masks_watershed, jnp.float32),
+                out_hw,
+                nuclei_size_t,
+            )
+        )
+
     masks_watershed = clean_image(masks_watershed)
 
     if resize_scale != 1:

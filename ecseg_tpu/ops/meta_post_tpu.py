@@ -1,0 +1,391 @@
+"""meta_inference ON DEVICE: the metaseg post-processing chain as one jitted
+TPU program.
+
+The reference's ``meta_inference`` (reference src/image_tools.py:15-84) is a
+sequential, data-dependent chain -- fill holes, mean-size thresholds, ecDNA
+border smoothing, the metaphase-center heuristic, two merge passes, a final
+dilation -- that round 1 ran on host (~1-1.4 s per 2048^2 image,
+ops/meta_post.meta_inference).  Here the same chain runs on device from the
+existing primitives: the Pallas component labeler (ops/cc_pallas) for every
+labeling, scatter-add lookup tables for per-component area/centroid
+reductions, and shift-stack morphology (ops/morphology_tpu).
+
+Exactness contract: the host twin is the parity oracle, and every step is a
+bit-exact reformulation -- including the metaphase-center heuristic's
+centroid band tests, which are evaluated as EXACT integer comparisons.
+A centroid is the rational Sx/N (coordinate sum over area); the band test
+``c_x < n_x + v`` is equivalent to ``Sc*Nn < Sn*Nc + v*Nn*Nc``, whose terms
+reach ~2^55 -- beyond int32 and f32, and jax x64 is unavailable here.  The
+products are therefore computed in base-2^11 limb arithmetic on int32
+lanes (exact), with coordinate sums accumulated overflow-free via a hi/lo
+split.  The only approximation left is none; the ``ok`` output flag covers
+just the static component-count budgets (MAX_CHROM/MAX_NUC), and the
+caller redoes an image on the host oracle when it overflows.
+
+Quirks replicated from the reference (same list as ops/meta_post.py):
+skipped-last-label in merge_comp (scipy's raster-encounter "last" label is
+the component with the largest min-flat-index root, which is what the
+Pallas labeler already computes), the stale pre-conversion ecDNA region
+list in size_thresh, and NaN means (0/0 in f32) disabling thresholds when
+a class is absent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .cc_pallas import label_pallas
+from .morphology import diamond
+from .morphology_tpu import (
+    binary_dilation_tpu,
+    binary_erosion_tpu,
+    binary_fill_holes_tpu,
+)
+
+EC_SIZE_THRESHOLD = 15  # reference src/image_tools.py:13
+MIN_CHROM_COUNT = 5  # reference src/image_tools.py:72
+BAND_V = 70.0  # reference src/image_tools.py:72
+
+# Component budgets for the compacted centroid stage; overflow lowers `ok`.
+MAX_CHROM = 2048
+MAX_NUC = 512
+
+# ---- exact integer limb arithmetic (base 2^11 on int32 lanes) -----------
+# Centroid band tests compare products like Sc*Nn (coordinate-sum times
+# area) that reach 2^55; these helpers evaluate their signs exactly.
+_LB = 11
+_LMASK = (1 << _LB) - 1
+
+
+def _canon_sign(cols):
+    """Sign (+1/0/-1 int32) of sum(cols[k] * 2**(11*k)); columns may be
+    negative and carry-propagation uses arithmetic shifts (floor)."""
+    carry = jnp.zeros_like(cols[0])
+    any_limb = jnp.zeros_like(cols[0], dtype=bool)
+    for c in cols:
+        c = c + carry
+        any_limb = jnp.logical_or(any_limb, (c & _LMASK) != 0)
+        carry = c >> _LB
+    return jnp.where(
+        carry < 0,
+        -1,
+        jnp.where(jnp.logical_or(carry > 0, any_limb), 1, 0),
+    ).astype(jnp.int32)
+
+
+def _limbs(x, n: int):
+    """Non-negative int32 -> n base-2^11 limbs."""
+    return [(x >> (_LB * k)) & _LMASK for k in range(n)]
+
+
+def _sum_limbs(hi, lo):
+    """Canonical 4 limbs of the coordinate sum 64*hi + lo
+    (hi < 2^27, lo < 2^28, both non-negative)."""
+    h = _limbs(hi, 3)
+    cols = [lo + (h[0] << 6), h[1] << 6, h[2] << 6, jnp.zeros_like(hi)]
+    out, carry = [], jnp.zeros_like(hi)
+    for c in cols:
+        c = c + carry
+        out.append(c & _LMASK)
+        carry = c >> _LB
+    return out
+
+
+def _prod_cols(a, b):
+    """Column form (len(a)+len(b)-1 columns) of the product of two
+    limb-decomposed non-negatives; each column < 2^23."""
+    cols = [jnp.zeros(jnp.broadcast_shapes(a[0].shape, b[0].shape), jnp.int32)
+            for _ in range(len(a) + len(b) - 1)]
+    for i, ai in enumerate(a):
+        for j, bj in enumerate(b):
+            cols[i + j] = cols[i + j] + ai * bj
+    return cols
+
+
+def _pad_cols(a, b):
+    n = max(len(a), len(b))
+    z = jnp.zeros(
+        jnp.broadcast_shapes(a[0].shape, b[0].shape), a[0].dtype
+    )
+    return (
+        list(a) + [z] * (n - len(a)),
+        list(b) + [z] * (n - len(b)),
+    )
+
+
+def _sub_cols(a, b):
+    a, b = _pad_cols(a, b)
+    return [x - y for x, y in zip(a, b)]
+
+
+def _add_cols(a, b):
+    a, b = _pad_cols(a, b)
+    return [x + y for x, y in zip(a, b)]
+
+
+def _flat_roots(mask):
+    """Per-pixel min-flat-index component root (8-connected), h*w for
+    background; shape (h*w,)."""
+    h, w = mask.shape
+    lab = label_pallas(mask, connectivity=2).reshape(-1)
+    return jnp.where(lab < 0, h * w, lab)
+
+
+def _size_lut(flat, hw):
+    return jnp.zeros(hw + 1, jnp.int32).at[flat].add(1)
+
+
+def _num_roots(flat, hw):
+    idx = jnp.arange(hw, dtype=jnp.int32)
+    return jnp.sum(jnp.logical_and(flat == idx, flat < hw), dtype=jnp.int32)
+
+
+def count_roots_tpu(mask) -> jnp.ndarray:
+    """#8-connected components of a binary mask (== skimage label count,
+    reference src/image_tools.py:114-119 first element)."""
+    h, w = mask.shape
+    return _num_roots(_flat_roots(mask.astype(bool)), h * w)
+
+
+def _shift_edge(x, dy: int, dx: int):
+    """Shift by one with edge replication (scipy 'reflect' for the radius-1
+    diamond footprint); |dy|, |dx| <= 1, axis-aligned only."""
+    out = jnp.roll(x, (dy, dx), (0, 1))
+    if dy == 1:
+        out = out.at[0, :].set(x[0, :])
+    elif dy == -1:
+        out = out.at[-1, :].set(x[-1, :])
+    if dx == 1:
+        out = out.at[:, 0].set(x[:, 0])
+    elif dx == -1:
+        out = out.at[:, -1].set(x[:, -1])
+    return out
+
+
+def _gray_opening_d1(img):
+    """Grey opening with diamond(1) (twin of ops/morphology.opening via
+    scipy grey_erosion/grey_dilation, default reflect border)."""
+    e = img
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        e = jnp.minimum(e, _shift_edge(img, dy, dx))
+    d = e
+    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        d = jnp.maximum(d, _shift_edge(e, dy, dx))
+    return d
+
+
+def _fill_holes_class(img, class_id: int):
+    """img[binary_fill_holes(img == class_id)] = class_id (reference
+    src/image_tools.py:36-39,61; scipy default 4-connected background)."""
+    filled = binary_fill_holes_tpu(img == class_id)
+    return jnp.where(filled, class_id, img)
+
+
+def _mean_area(flat, mask, hw):
+    """f32 mean component area; 0/0 -> NaN exactly like np.mean([]) so
+    comparisons against it are all False (reference quirk)."""
+    num = _num_roots(flat, hw).astype(jnp.float32)
+    total = jnp.sum(mask, dtype=jnp.int32).astype(jnp.float32)
+    return total / num  # 0/0 -> NaN
+
+
+def _size_thresh(img, hw):
+    """Mean-size thresholds (reference src/image_tools.py:41-59): nuclei
+    smaller than the mean chromosome -> background, chromosomes smaller
+    than the mean ecDNA -> ecDNA, then the STALE pre-conversion ecDNA list
+    below EC_SIZE_THRESHOLD -> background."""
+    nuc = img == 1
+    chrom = img == 2
+    ec = img == 3
+
+    chrom_flat = _flat_roots(chrom)
+    avg_chrom = _mean_area(chrom_flat, chrom, hw)
+    nuc_flat = _flat_roots(nuc)
+    nuc_sizes = _size_lut(nuc_flat, hw)[nuc_flat].reshape(img.shape)
+    img = jnp.where(jnp.logical_and(nuc, nuc_sizes < avg_chrom), 0, img)
+
+    # chromosome pixels are untouched by the nuclei pass, so the reference's
+    # re-labeling (image_tools.py:50) yields the same components
+    ec_flat = _flat_roots(ec)
+    avg_ec = _mean_area(ec_flat, ec, hw)
+    chrom_sizes = _size_lut(chrom_flat, hw)[chrom_flat].reshape(img.shape)
+    img = jnp.where(jnp.logical_and(chrom, chrom_sizes < avg_ec), 3, img)
+
+    # stale list: sizes from the PRE-conversion ec components
+    ec_sizes = _size_lut(ec_flat, hw)[ec_flat].reshape(img.shape)
+    img = jnp.where(jnp.logical_and(ec, ec_sizes < EC_SIZE_THRESHOLD), 0, img)
+    return img
+
+
+def _component_sums(mask, hw, max_n: int):
+    """Compacted per-component exact coordinate sums for up to ``max_n``
+    8-connected components: returns dict with 4-limb Sy/Sx, 2-limb N, a
+    validity mask, the true component count, the per-pixel flat roots, and
+    the compacted root indices.
+
+    Coordinate sums are accumulated overflow-free in int32 via a hi/lo
+    split (coord = 64*(coord>>6) + (coord&63)), then converted to exact
+    base-2^11 limbs.
+    """
+    h, w = mask.shape
+    flat = _flat_roots(mask)
+    rows = jnp.arange(hw, dtype=jnp.int32) // w
+    cols = jnp.arange(hw, dtype=jnp.int32) % w
+
+    n_lut = _size_lut(flat, hw)
+    sy_hi = jnp.zeros(hw + 1, jnp.int32).at[flat].add(rows >> 6)
+    sy_lo = jnp.zeros(hw + 1, jnp.int32).at[flat].add(rows & 63)
+    sx_hi = jnp.zeros(hw + 1, jnp.int32).at[flat].add(cols >> 6)
+    sx_lo = jnp.zeros(hw + 1, jnp.int32).at[flat].add(cols & 63)
+
+    idx = jnp.arange(hw, dtype=jnp.int32)
+    is_root = jnp.logical_and(flat == idx, flat < hw)
+    num = jnp.sum(is_root, dtype=jnp.int32)
+    roots = jnp.nonzero(is_root, size=max_n, fill_value=hw)[0].astype(jnp.int32)
+    valid = roots < hw
+
+    # mask sentinel-slot garbage (background accumulations can overflow on
+    # huge images) out of every limb before decomposition
+    def g(lut):
+        return jnp.where(valid, lut[roots], 0)
+
+    return dict(
+        sy=_sum_limbs(g(sy_hi), g(sy_lo)),
+        sx=_sum_limbs(g(sx_hi), g(sx_lo)),
+        n=_limbs(g(n_lut), 2),
+        valid=valid,
+        num=num,
+        flat=flat,
+        roots=roots,
+    )
+
+
+def _metaphase_removal(img, hw):
+    """Remove 'nuclei' that sit inside a metaphase chromosome spread
+    (reference src/image_tools.py:71-81): a nucleus goes to background when
+    more than MIN_CHROM_COUNT chromosome centroids lie in EACH of the four
+    BAND_V-px bands around its centroid (both reference clauses reduce to
+    the conjunction of all four).  All band tests are exact integer
+    comparisons (see module docstring).  Returns (img, ok); ok is False
+    only on component-budget overflow."""
+    c = _component_sums(img == 2, hw, MAX_CHROM)
+    n = _component_sums(img == 1, hw, MAX_NUC)
+    pair_ok = jnp.logical_and(c["valid"][None, :], n["valid"][:, None])
+    v = int(BAND_V)
+
+    def bc(x):  # broadcast a chrom limb list over the pair grid
+        return [a[None, :] for a in x]
+
+    def bn(x):  # broadcast a nucleus limb list
+        return [a[:, None] for a in x]
+
+    # v * Nn * Nc columns, shared by both axes
+    q = [vv * v for vv in _prod_cols(bn(n["n"]), bc(c["n"]))]
+
+    def band_counts(s_c, s_n):
+        # d0 = sign(Sc*Nn - Sn*Nc) = sign(centroid_c - centroid_n)
+        p_cn = _prod_cols(bc(s_c), bn(n["n"]))
+        p_nc = _prod_cols(bn(s_n), bc(c["n"]))
+        d = _sub_cols(p_cn, p_nc)
+        d0 = _canon_sign(d)
+        dm = _canon_sign(_sub_cols(d, q))  # sign(delta - v)
+        dp = _canon_sign(_add_cols(d, q))  # sign(delta + v)
+        pos = jnp.sum(
+            jnp.logical_and(pair_ok, jnp.logical_and(d0 > 0, dm < 0)),
+            axis=1, dtype=jnp.int32,
+        )
+        neg = jnp.sum(
+            jnp.logical_and(pair_ok, jnp.logical_and(d0 < 0, dp > 0)),
+            axis=1, dtype=jnp.int32,
+        )
+        return pos, neg
+
+    left, right = band_counts(c["sx"], n["sx"])  # c_x in (n_x, n_x+v) / (n_x-v, n_x)
+    top, bottom = band_counts(c["sy"], n["sy"])  # c_y in (n_y, n_y+v) / (n_y-v, n_y)
+
+    remove = (
+        (left > MIN_CHROM_COUNT)
+        & (right > MIN_CHROM_COUNT)
+        & (bottom > MIN_CHROM_COUNT)
+        & (top > MIN_CHROM_COUNT)
+        & n["valid"]
+    )
+    ok = jnp.logical_and(c["num"] <= MAX_CHROM, n["num"] <= MAX_NUC)
+
+    lut = jnp.zeros(hw + 1, bool).at[
+        jnp.where(remove, n["roots"], hw)
+    ].set(True)
+    lut = lut.at[hw].set(False)
+    img = jnp.where(lut[n["flat"]].reshape(img.shape), 0, img)
+    return img, ok
+
+
+def _merge_comp(img, class_id: int, hw):
+    """Components (8-connected, over the image with the sibling class
+    hidden) touching ``class_id`` become ``class_id``, EXCEPT scipy's last
+    label == the component with the largest root index (the reference's
+    range(1, num_features) off-by-one, src/image_tools.py:18-33); then the
+    grey-opening smoothing write and the sibling restore."""
+    mask_id = 1 if class_id == 2 else 2
+    temp = img == mask_id
+    img = jnp.where(temp, 0, img)
+
+    fg = img != 0
+    flat = _flat_roots(fg)
+    idx = jnp.arange(hw, dtype=jnp.int32)
+    is_root = jnp.logical_and(flat == idx, flat < hw)
+    max_root = jnp.max(jnp.where(is_root, idx, -1))
+
+    touched = jnp.zeros(hw + 1, bool).at[
+        jnp.where((img == class_id).reshape(-1), flat, hw)
+    ].set(True)
+    touched = touched.at[hw].set(False)
+    merged = jnp.logical_and(
+        touched[flat], flat != max_root
+    ).reshape(img.shape)
+    img = jnp.where(merged, class_id, img)
+
+    img = jnp.where(_gray_opening_d1(img) == class_id, class_id, img)
+    img = jnp.where(temp, mask_id, img)
+    return img
+
+
+_D1 = diamond(1)
+
+
+@jax.jit
+def meta_inference_tpu(img: jnp.ndarray):
+    """Device twin of ops/meta_post.meta_inference
+    (reference src/image_tools.py:15-84).
+
+    ``img``: (H, W) integer 4-class label map.  Returns ``(out, ok)``:
+    ``out`` is the post-processed int32 label map and ``ok`` a bool scalar;
+    when ``ok`` is False (budget overflow / centroid near-tie, see module
+    docstring) the caller must recompute on the host oracle.
+    """
+    img = img.astype(jnp.int32)
+    h, w = img.shape
+    hw = h * w
+
+    img = _fill_holes_class(img, 1)
+    img = _fill_holes_class(img, 2)
+    img = _size_thresh(img, hw)
+
+    ec = img == 3
+    ring = jnp.logical_xor(
+        binary_dilation_tpu(ec, _D1), binary_erosion_tpu(ec, _D1)
+    )
+    img = jnp.where(ring, 0, img)
+
+    img, ok = _metaphase_removal(img, hw)
+
+    img = _merge_comp(img, 1, hw)
+    img = _merge_comp(img, 2, hw)
+
+    img = jnp.where(binary_dilation_tpu(img == 3, _D1), 3, img)
+    return img, ok

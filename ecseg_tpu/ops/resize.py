@@ -118,9 +118,50 @@ def rescale(
 
 def resize_jax(image, output_shape: Tuple[int, int], antialias: bool = False):
     """Device-side bilinear resize with half-pixel centers (the same sampling
-    grid as ``ndi.zoom(grid_mode=True)``), for the TPU hot path.  Exact-parity
-    consumers use the host :func:`resize`."""
+    grid as ``ndi.zoom(grid_mode=True)``), for the TPU hot path.  Note
+    jax.image.resize clamps at borders while the host resize mirrors
+    (ndi 'mirror'); for border-exact device resizing use
+    :func:`resize_linear_matmul`."""
     import jax.image
 
     shape = tuple(output_shape) + tuple(image.shape[2:])
     return jax.image.resize(image, shape, method="linear", antialias=antialias)
+
+
+def _zoom_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) order-1 interpolation operator reproducing
+    ``ndi.zoom(..., order=1, mode='mirror', grid_mode=True)`` exactly:
+    half-pixel sample centers, linear weights, mirror boundary
+    (index -1 -> 1, n -> n-2)."""
+    coords = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    lo = np.floor(coords).astype(np.int64)
+    frac = coords - lo
+
+    def mirror(i):
+        i = np.where(i < 0, -i, i)
+        if n_in > 1:
+            i = np.where(i >= n_in, 2 * (n_in - 1) - i, i)
+        else:
+            i = np.zeros_like(i)
+        return i
+
+    W = np.zeros((n_out, n_in), np.float64)
+    rows = np.arange(n_out)
+    np.add.at(W, (rows, mirror(lo)), 1.0 - frac)
+    np.add.at(W, (rows, mirror(lo + 1)), frac)
+    return W
+
+
+def resize_linear_matmul(image, output_shape: Tuple[int, int]):
+    """Device resize as two MXU matmuls with host-precomputed exact zoom
+    operators: out = Wy @ image @ Wx^T.  Matches the host :func:`resize`
+    (order=1, mode='reflect'->ndi 'mirror', no anti-aliasing) including the
+    border rows where jax.image.resize's clamping differs.  ``image`` is a
+    2-D (H, W) array; shapes must be static under jit."""
+    import jax.numpy as jnp
+
+    h_in, w_in = image.shape
+    h_out, w_out = output_shape
+    wy = jnp.asarray(_zoom_matrix(h_in, h_out), jnp.float32)
+    wx = jnp.asarray(_zoom_matrix(w_in, w_out), jnp.float32)
+    return wy @ image.astype(jnp.float32) @ wx.T

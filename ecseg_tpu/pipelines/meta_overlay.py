@@ -112,11 +112,12 @@ def main(argv=None, config: Optional[Config] = None) -> int:
 
         _, nuclei, chrom, ec = read_seg(i)
 
-        import jax
+        from ..runtime.devicepath import use_device_path
 
-        if jax.default_backend() == "tpu":
+        if use_device_path():
             # all ten statistics in ONE fused device program (the host path
             # rescans the image per component -- see ops/overlay_tpu.py)
+            import jax
             import jax.numpy as jnp
 
             from ..ops.overlay_tpu import overlay_stats_tpu

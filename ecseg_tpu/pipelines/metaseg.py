@@ -43,12 +43,7 @@ def _default_forward(params, patches_u8, dtype):
     return metaseg_unet.forward(params, patches_u8, dtype=dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("forward_fn", "positions", "dtype")
-)
-def _segment_patches_jit(
-    params, patches_u8, forward_fn, positions, dtype=jnp.float32
-):
+def _segment_patches_impl(params, patches_u8, forward_fn, positions, dtype):
     """Patches (N,256,256,1) uint8 -> stitched argmax label map (H, W) int32,
     entirely on device.  The uint8 quantization happens before the argmax
     exactly as the reference does (src/utils.py:117-118); per-patch argmax
@@ -56,6 +51,35 @@ def _segment_patches_jit(
     first (the stitcher only copies) but 4x cheaper on HBM."""
     probs = forward_fn(params, patches_u8, dtype)
     return tiling.stitch_argmax_jax(probs, positions)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("forward_fn", "positions", "dtype")
+)
+def _segment_patches_jit(
+    params, patches_u8, forward_fn, positions, dtype=jnp.float32
+):
+    return _segment_patches_impl(params, patches_u8, forward_fn, positions, dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("forward_fn", "positions", "dtype")
+)
+def _segment_post_jit(
+    params, patches_u8, forward_fn, positions, dtype=jnp.float32
+):
+    """The FULL per-image device program: forward -> stitch -> argmax ->
+    meta_inference -> ecDNA component count, one dispatch.  Returns
+    (raw_labels, final_labels, ok, num_ec); when ``ok`` is False (component
+    budget overflow in the device meta_inference, see ops/meta_post_tpu)
+    the caller redoes the post-processing on the host oracle from
+    ``raw_labels``."""
+    from ..ops.meta_post_tpu import count_roots_tpu, meta_inference_tpu
+
+    labels = _segment_patches_impl(params, patches_u8, forward_fn, positions, dtype)
+    out, ok = meta_inference_tpu(labels)
+    num_ec = count_roots_tpu(out == 3)
+    return labels, out, ok, num_ec
 
 
 def _prepare_image(image_path: str, save_dapi: bool = True):
@@ -246,32 +270,74 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         params, forward_fn = model, _default_forward
 
     from ..runtime.batching import prefetch_map
+    from ..runtime.devicepath import use_device_path
 
     rows = []
     path_split = None
     print("Reading from: ", inpath)
+    device_post = use_device_path()
+
+    def _host_post(raw_labels_i64):
+        I = meta_inference(raw_labels_i64)
+        return I, count_cc(I == 3)[0]
+
+    def _device_post(labels_dev):
+        """meta_inference + ec count on device; host oracle on budget
+        overflow (ops/meta_post_tpu contract)."""
+        from ..ops.meta_post_tpu import count_roots_tpu, meta_inference_tpu
+
+        out, ok = meta_inference_tpu(labels_dev)
+        if bool(ok):
+            return (
+                np.asarray(out).astype(np.int64),
+                int(count_roots_tpu(out == 3)),
+            )
+        return _host_post(np.asarray(labels_dev).astype(np.int64))
 
     if len(jax.devices()) > 1:
         # multi-chip: cross-image packed batches sharded over the mesh
         # 'data' axis (SURVEY 2.6; replaces the reference's MirroredStrategy)
-        results = segment_folder_sharded((params, forward_fn), image_paths)
+        def _sharded():
+            for i, lab in segment_folder_sharded((params, forward_fn), image_paths):
+                with stage("metaseg.meta_inference"):
+                    if device_post:
+                        I, num = _device_post(jnp.asarray(lab.astype(np.int32)))
+                    else:
+                        I, num = _host_post(lab)
+                yield i, I, num
+
+        results = _sharded()
     else:
         def _per_image():
             for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):
-                with stage("metaseg.forward+stitch"):
-                    labels = _segment_patches_jit(
-                        params, jnp.asarray(patches), forward_fn, pos, jnp.float32
-                    )
-                    labels = np.asarray(labels).astype(np.int64)
-                yield i, labels
+                if device_post:
+                    # ONE device program: forward -> stitch -> meta_inference
+                    # -> ec count (host fallback only on budget overflow)
+                    with stage("metaseg.forward+post"):
+                        raw, out, ok, num_ec = _segment_post_jit(
+                            params, jnp.asarray(patches), forward_fn, pos,
+                            jnp.float32,
+                        )
+                        if bool(ok):
+                            I, num = np.asarray(out).astype(np.int64), int(num_ec)
+                        else:
+                            I, num = _host_post(np.asarray(raw).astype(np.int64))
+                    yield i, I, num
+                else:
+                    with stage("metaseg.forward+stitch"):
+                        labels = _segment_patches_jit(
+                            params, jnp.asarray(patches), forward_fn, pos,
+                            jnp.float32,
+                        )
+                        labels = np.asarray(labels).astype(np.int64)
+                    with stage("metaseg.meta_inference"):
+                        I, num = _host_post(labels)
+                    yield i, I, num
 
         results = _per_image()
 
-    for i, raw_labels in results:
+    for i, I, num_ecDNA in results:
         print("Processing image: ", i)
-        with stage("metaseg.meta_inference"):
-            I = meta_inference(raw_labels)
-            num_ecDNA = count_cc(I == 3)[0]
         path_split = os.path.split(i)
         outpath = os.path.join(path_split[0], "labels", path_split[1][:-4])
         print("Saving labels: ", i, " to ", outpath)

@@ -125,21 +125,19 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
 
     dfs = []
     path_split = None
-    for i, I in prefetch_map(_decode, image_paths):
+
+    def _tail(i, I, segmented_cells):
+        """Everything after nuclei segmentation: min-cut, matched filter,
+        region statistics, image writes.  Host-dominant -- runs on a worker
+        thread so it overlaps the NEXT image's NuSeT device passes
+        (steady-state per-image wall time ~ max(host tail, device), not
+        their sum).  Tails execute strictly in submission order, so the
+        reference's first-image 'auto' scale resolution stays safe."""
+        nonlocal scaling_factor
         path_split = os.path.split(i)
-        print("Processing image: ", i)
         img_name = os.path.basename(i)[:-4]
         annotated_path = os.path.join(inpath, output_folder, img_name)
         os.makedirs(annotated_path, exist_ok=True)
-
-        blue = I[:, :, 0]
-
-        with stage("stat_fish.nuclei_segment"):
-            segmented_cells = nuset_infer.nuclei_segment(blue, model, nuclei_size_t)
-
-        imheight, imwidth = segmented_cells.shape
-        I = I[:imheight, :imwidth, :]
-        segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
 
         if var.use_min_cut:
             with stage("stat_fish.min_cut"):
@@ -172,7 +170,9 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             ]
             trace_mf = stage("stat_fish.matched_filter")
             trace_mf.__enter__()
-            if jax.default_backend() == "tpu":
+            from ..runtime.devicepath import use_device_path
+
+            if use_device_path():
                 # fused device program (conv + max-pixel + gates); host twin
                 # kept below for CPU runs and parity tests
                 # np.array (not asarray): device buffers are read-only and
@@ -253,7 +253,6 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         df["#_DAPI_pixels"] = np.array(cell_sizes)
         df["#_FISH_pixels (green and red)"] = np.array(green_red_pixels)
         df["#_FISH_foci (green and red)"] = np.array(green_red_blobs)
-        dfs.append(df)
 
         thresholds_abbr = "_".join(
             f"{letter}{format(x, '.1f')}"
@@ -293,6 +292,34 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         )
         assert imgio.imwrite(f"{annotated_path}/{img_name}_original.tif", I)
         assert imgio.imwrite(lsq_path, blob_labeled)
+        return df
+
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=1) as tailpool:
+        pending = None
+        for i, I in prefetch_map(_decode, image_paths):
+            path_split = os.path.split(i)
+            print("Processing image: ", i)
+            blue = I[:, :, 0]
+
+            with stage("stat_fish.nuclei_segment"):
+                segmented_cells = nuset_infer.nuclei_segment(
+                    blue, model, nuclei_size_t
+                )
+
+            imheight, imwidth = segmented_cells.shape
+            I = I[:imheight, :imwidth, :]
+            segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
+
+            # one-image lookahead: wait for the previous tail, then hand
+            # this image's host tail to the worker and move on to the next
+            # image's device passes
+            if pending is not None:
+                dfs.append(pending.result())
+            pending = tailpool.submit(_tail, i, I, segmented_cells)
+        if pending is not None:
+            dfs.append(pending.result())
 
     if dfs:
         out = pd.concat(dfs)

@@ -1,0 +1,23 @@
+"""Host-vs-device branch selection for the pipelines.
+
+Several pipeline stages have two equivalent implementations: a host twin
+(the parity oracle, always available) and an on-device TPU program.  By
+default the device branch engages when the default JAX backend is a TPU.
+``ECSEG_DEVICE_PIPELINE=1``/``0`` overrides the choice -- the test suite
+forces BOTH branches through the full pipeline ``main``s on the CPU mesh
+(device ops run under Pallas interpret mode there) and asserts
+byte-identical outputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def use_device_path() -> bool:
+    v = os.environ.get("ECSEG_DEVICE_PIPELINE")
+    if v is not None and v != "":
+        return v not in ("0", "false", "False")
+    import jax
+
+    return jax.default_backend() == "tpu"

@@ -118,3 +118,35 @@ def test_uint8_preserve_range_flag(rng):
     kept = resize(img, (20, 20), preserve_range=True, anti_aliasing=False)
     scaled = resize(img, (20, 20), preserve_range=False, anti_aliasing=False)
     np.testing.assert_allclose(kept / 255.0, scaled, rtol=1e-10)
+
+
+def test_resize_linear_matmul_matches_host_resize(rng):
+    """The matmul-operator device resize must match the host resize
+    (order=1, mirror boundary, no anti-aliasing) to f32 accuracy,
+    INCLUDING border rows where jax.image.resize's clamping differs."""
+    from ecseg_tpu.ops.resize import resize, resize_linear_matmul
+
+    for in_hw, out_hw in [((48, 60), (160, 200)), ((45, 45), (150, 150)),
+                          ((30, 50), (13, 21))]:
+        img = rng.random(in_hw)
+        img[0, :] = 0.0
+        img[1, :] = 1.0  # border-sensitive content (mirror vs clamp)
+        want = resize(img, out_hw, anti_aliasing=False)
+        got = np.asarray(resize_linear_matmul(img.astype(np.float32), out_hw))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_resize_linear_matmul_mask_support_matches(rng):
+    """Binarized support after upscale (the nuclei_segment cleanup
+    threshold) is identical between host and device resizes."""
+    from ecseg_tpu.ops.resize import rescale, resize_linear_matmul
+
+    m = (rng.random((48, 60)) < 0.3).astype(np.uint8)
+    host = rescale(m, 1 / 0.3)  # img_as_float path, values {0, 1/255}-ish
+    out_hw = host.shape
+    dev = np.asarray(resize_linear_matmul(m.astype(np.float32), out_hw))
+    lo_h, hi_h = host.min(), host.max()
+    lo_d, hi_d = dev.min(), dev.max()
+    supp_host = ((host - lo_h) / (hi_h - lo_h) * 255).astype(np.uint8) > 0
+    supp_dev = ((dev - lo_d) / (hi_d - lo_d) * 255).astype(np.uint8) > 0
+    np.testing.assert_array_equal(supp_dev, supp_host)

@@ -443,3 +443,88 @@ def test_interseg_classifier_h5_path(rng, tmp_path):
     np.testing.assert_allclose(
         c_model.predict(xc), mdl_c.predict(xc, verbose=0), rtol=1e-4, atol=1e-5
     )
+
+
+def test_keras_h5_nested_separable_depthwise(rng, tmp_path):
+    """Legacy H5 with SeparableConv2D, DepthwiseConv2D, and a nested
+    multi-output Functional sub-model consumed at tensor indices 0 and 1."""
+    from tf_keras import Model, layers
+
+    from ecseg_tpu.models.keras_import import import_keras_h5
+
+    inp = layers.Input((32, 32, 3), name="in0")
+    x = layers.SeparableConv2D(8, 3, padding="same", activation="relu", name="sep")(inp)
+    x = layers.DepthwiseConv2D(3, padding="same", name="dw")(x)
+    sub_in = layers.Input((32, 32, 8), name="sub_in")
+    s = layers.Conv2D(4, 3, padding="same", activation="relu", name="subconv")(sub_in)
+    s2 = layers.Conv2D(4, 1, name="subconv2")(s)
+    sub = Model(sub_in, [s, s2], name="subnet")
+    y1, y2 = sub(x)
+    out = layers.Add(name="add")([y1, y2])
+    model = Model(inp, out, name="outer")
+    h5_path = str(tmp_path / "nested.h5")
+    model.save(h5_path, save_format="h5")
+
+    xb = rng.random((2, 32, 32, 3)).astype(np.float32)
+    ref = model.predict(xb, verbose=0)
+    got = import_keras_h5(h5_path).predict(xb)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def _build_keras3_graph(keras):
+    layers = keras.layers
+    inp = keras.Input((32, 32, 3))
+    a = layers.Conv2D(6, 3, padding="same", activation="relu")(inp)
+    b = layers.SeparableConv2D(8, 3, padding="same")(a)
+    b = layers.DepthwiseConv2D(3, padding="same", activation="relu")(b)
+    sub_in = keras.Input((32, 32, 8))
+    s = layers.Conv2D(4, 3, padding="same", activation="relu")(sub_in)
+    s2 = layers.Conv2D(4, 1)(s)
+    sub = keras.Model(sub_in, [s, s2], name="subnet")
+    y1, y2 = sub(b)
+    merged = layers.Add()([y1, y2])
+    c = layers.Conv2D(4, 1, activation="softmax")(merged)  # 2nd outer Conv2D
+    return keras.Model(inp, c, name="outer")
+
+
+def test_keras3_native_archive_import(rng, tmp_path):
+    """Keras 3 .keras zip archives: config.json graph + snake-cased
+    per-container weight groups, incl. dedup numbering (two outer Conv2D),
+    nested multi-output sub-model, separable/depthwise convs."""
+    keras = pytest.importorskip("keras")
+    if int(keras.__version__.split(".")[0]) < 3:
+        pytest.skip("keras 3 not available")
+
+    from ecseg_tpu.models.keras_import import import_keras_file
+
+    model = _build_keras3_graph(keras)
+    path = str(tmp_path / "model.keras")
+    model.save(path)
+
+    xb = rng.random((2, 32, 32, 3)).astype(np.float32)
+    ref = np.asarray(model(xb))
+    got = import_keras_file(path).predict(xb)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_keras3_sequential_archive_import(rng, tmp_path):
+    keras = pytest.importorskip("keras")
+    if int(keras.__version__.split(".")[0]) < 3:
+        pytest.skip("keras 3 not available")
+
+    from ecseg_tpu.models.keras_import import import_keras_file
+
+    model = keras.Sequential(
+        [
+            keras.Input((16, 16, 1)),
+            keras.layers.Conv2D(4, 3, padding="same", activation="relu"),
+            keras.layers.MaxPooling2D(2),
+            keras.layers.Conv2D(2, 3, padding="same", activation="softmax"),
+        ]
+    )
+    path = str(tmp_path / "seq.keras")
+    model.save(path)
+    xb = rng.random((2, 16, 16, 1)).astype(np.float32)
+    ref = np.asarray(model(xb))
+    got = import_keras_file(path).predict(xb)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
