@@ -111,16 +111,19 @@ def build(arch: str = "default", full: bool = False):
         return num_ec
 
     def tile_fn_full(params, patches):
-        # the PRODUCT per-image program: forward -> stitch -> device
+        # the PRODUCT per-image program: forward -> Pallas stitch -> device
         # meta_inference -> final ec component count (pipelines/metaseg
         # _segment_post_jit dataflow)
+        from ecseg_tpu.ops.cc_pallas import stitch_labels_pallas
         from ecseg_tpu.ops.meta_post_tpu import (
             count_roots_tpu,
             meta_inference_tpu,
         )
 
         probs = metaseg_unet.forward(params, patches, dtype=jnp.bfloat16)
-        canvas = tiling.stitch_argmax_jax(probs, positions)
+        u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
+        labels = jnp.argmax(u8, axis=-1).astype(jnp.int32)
+        canvas = stitch_labels_pallas(labels, positions)
         out, _ok = meta_inference_tpu(canvas)
         return count_roots_tpu(out == 3)
 

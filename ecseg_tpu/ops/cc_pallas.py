@@ -287,6 +287,152 @@ def count_cc_from_patches(
     return count[0, 0], px[0, 0]
 
 
+def _segscan_max_axis(r, mp, axis, size, border, idx_along):
+    """Segmented MAX-scan of ``r`` along ``axis`` in both directions over
+    runs of traversable pixels (mp != 0); same Hillis-Steele structure as
+    :func:`_segscan_axis`."""
+    nsteps = max(1, int(np.ceil(np.log2(size))))
+
+    def one_dir(v, f, sgn):
+        for s in range(nsteps):
+            d = 1 << s
+            vs = jnp.roll(v, sgn * d, axis)
+            fs = jnp.roll(f, sgn * d, axis)
+            if d > border:
+                if sgn > 0:
+                    bad = idx_along < d
+                else:
+                    bad = idx_along >= size - d
+                fs = jnp.where(bad, 1, fs)
+                vs = jnp.where(bad, 0, vs)
+            v = jnp.where(f != 0, v, jnp.maximum(v, vs))
+            f = jnp.maximum(f, fs)
+        return v
+
+    f0 = jnp.where(mp != 0, 0, 1).astype(jnp.int32)
+    fwd = one_dir(r, f0, +1)
+    bwd = one_dir(r, f0, -1)
+    return jnp.where(mp != 0, jnp.maximum(fwd, bwd), 0)
+
+
+def _flood_border_kernel(h, w):
+    """Reachability of the true-image border through 4-connected runs of a
+    traversable mask -- the fixpoint behind hole filling, with no labeling
+    and no scatter."""
+    hp, wp = _padded_dims(h, w)
+
+    def kernel(mask_ref, out_ref):
+        mp = jnp.pad(mask_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+        rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+        on_border = (
+            (rows == 0) | (rows == h - 1) | (cols == 0) | (cols == w - 1)
+        )
+        r = jnp.where((mp != 0) & on_border, 1, 0).astype(jnp.int32)
+
+        def sweep(r):
+            n = jnp.maximum(r, jnp.roll(r, 1, 1))
+            n = jnp.maximum(n, jnp.roll(r, -1, 1))
+            n = jnp.maximum(n, jnp.roll(r, 1, 0))
+            n = jnp.maximum(n, jnp.roll(r, -1, 0))
+            return jnp.where(mp != 0, n, 0)
+
+        def delta(new, old):
+            return jnp.max(jnp.where(new != old, 1, 0)) > 0
+
+        def a_chunk(state):
+            r, _, it = state
+            new = r
+            for _ in range(_CHUNK):
+                new = sweep(new)
+            return new, delta(new, r), it + 1
+
+        def a_cond(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < _A_CHUNKS)
+
+        r, changed, _ = lax.while_loop(
+            a_cond, a_chunk, (sweep(r), jnp.bool_(True), jnp.int32(0))
+        )
+
+        def b_step(state):
+            r, _, it = state
+            new = _segscan_max_axis(r, mp, 1, wp, _COL_PAD, cols)
+            new = _segscan_max_axis(new, mp, 0, hp, _ROW_PAD, rows)
+            new = sweep(new)
+            return new, delta(new, r), it + 1
+
+        def b_cond(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < _B_MAX)
+
+        r, _, _ = lax.while_loop(b_cond, b_step, (r, changed, jnp.int32(0)))
+        out_ref[0] = (r[:h, :w] != 0).astype(jnp.int32)
+
+    return kernel
+
+
+@jax.jit
+def flood_from_border_pallas(traversable: jnp.ndarray) -> jnp.ndarray:
+    """Boolean (H, W): pixels of ``traversable`` 4-connected to the image
+    border through traversable runs.  ``binary_fill_holes(mask)`` ==
+    ``mask | (~mask & ~flood_from_border(~mask))``."""
+    h, w = traversable.shape
+    m = traversable.astype(jnp.int32)[None]
+    out = pl.pallas_call(
+        _flood_border_kernel(h, w),
+        out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(m)
+    return out[0] != 0
+
+
+def _stitch_labels_kernel(copies, H, W):
+    def kernel(patches_ref, out_ref):
+        out_ref[:] = jnp.zeros((H, W), jnp.int32)
+        for (i, sy, sx, dy, dx, sh, sw) in copies:
+            out_ref[dy : dy + sh, dx : dx + sw] = patches_ref[
+                i, sy : sy + sh, sx : sx + sw
+            ]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("positions",))
+def stitch_labels_pallas(label_patches: jnp.ndarray, positions) -> jnp.ndarray:
+    """Overlap-stitch per-patch int label maps into the (H, W) canvas with
+    the whole copy plan in ONE kernel (the XLA stitcher issues ~150 small
+    dynamic-update-slice launches per tile).  Identical output to
+    tiling.stitch_patches_jax on the argmaxed patches.  Falls back to the
+    XLA stitcher when the patch stack + canvas would not fit VMEM."""
+    from .tiling import OVERLAP, SCW, _stitch_plan_cached, stitch_patches_jax
+
+    pos_key = tuple(map(tuple, positions))
+    pos = np.asarray(pos_key)
+    h_l = int(pos[:, 0].max())
+    w_l = int(pos[:, 1].max())
+    copies, H, W = _stitch_plan_cached(pos_key, OVERLAP, SCW, h_l, w_l)
+
+    n = label_patches.shape[0]
+    vmem_bytes = 4 * (n * SCW * SCW + 2 * H * W)
+    if vmem_bytes > 45 * 1024 * 1024:
+        return stitch_patches_jax(
+            label_patches.astype(jnp.int32)[..., None], positions
+        )[..., 0]
+
+    return pl.pallas_call(
+        _stitch_labels_kernel(tuple(copies), H, W),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(label_patches.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity",))
 def label_pallas(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarray:
     """Canonical min-index labeling of one (H, W) binary mask; background is

@@ -222,6 +222,22 @@ def _size_thresh(img, hw):
     return img
 
 
+def _compact_roots(flat, hw, max_n: int):
+    """Ascending distinct foreground root ids, padded with ``hw`` -- one
+    sort + scans + a tiny searchsorted.  Replaces ``jnp.nonzero`` on the
+    per-pixel is-root mask, which costs ~4x more on this TPU."""
+    v = jnp.sort(flat)
+    first = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (v[1:] != v[:-1]).astype(jnp.int32)]
+    )
+    ranks = jnp.cumsum(first) - 1  # nondecreasing rank per sorted position
+    idx = jnp.searchsorted(ranks, jnp.arange(max_n, dtype=jnp.int32))
+    roots = v[jnp.clip(idx, 0, hw - 1)]
+    # out-of-range ranks (idx == hw) and the background-sentinel run both
+    # map to the hw pad value
+    return jnp.where(jnp.logical_or(idx >= hw, roots >= hw), hw, roots)
+
+
 def _component_sums(mask, hw, max_n: int):
     """Compacted per-component exact coordinate sums for up to ``max_n``
     8-connected components: returns dict with 4-limb Sy/Sx, 2-limb N, a
@@ -246,7 +262,7 @@ def _component_sums(mask, hw, max_n: int):
     idx = jnp.arange(hw, dtype=jnp.int32)
     is_root = jnp.logical_and(flat == idx, flat < hw)
     num = jnp.sum(is_root, dtype=jnp.int32)
-    roots = jnp.nonzero(is_root, size=max_n, fill_value=hw)[0].astype(jnp.int32)
+    roots = _compact_roots(flat, hw, max_n)
     valid = roots < hw
 
     # mask sentinel-slot garbage (background accumulations can overflow on

@@ -115,9 +115,15 @@ def remove_small_holes_tpu(
 def binary_fill_holes_tpu(mask: jnp.ndarray, connectivity: int = 1) -> jnp.ndarray:
     """Fill every background component not connected to the border (twin of
     scipy.ndimage.binary_fill_holes, whose default structure is
-    4-connected)."""
+    4-connected).  The 4-connected case runs as a single border-flood
+    Pallas fixpoint (no labeling, no scatter)."""
     mask = mask.astype(bool)
     bg = jnp.logical_not(mask)
+    if connectivity == 1:
+        from .cc_pallas import flood_from_border_pallas
+
+        reachable = flood_from_border_pallas(bg)
+        return jnp.logical_or(mask, jnp.logical_and(bg, ~reachable))
     _, _, border_map = _component_size_mask(bg, connectivity)
     return jnp.logical_or(mask, jnp.logical_and(bg, ~border_map))
 

@@ -68,18 +68,49 @@ def _segment_patches_jit(
 def _segment_post_jit(
     params, patches_u8, forward_fn, positions, dtype=jnp.float32
 ):
-    """The FULL per-image device program: forward -> stitch -> argmax ->
-    meta_inference -> ecDNA component count, one dispatch.  Returns
+    """The FULL per-image device program: forward -> argmax -> stitch ->
+    meta_inference -> ecDNA component count, one dispatch.  The stitch runs
+    as a single Pallas copy-plan kernel (cc_pallas.stitch_labels_pallas)
+    instead of the XLA stitcher's ~150 update-slice launches.  Returns
     (raw_labels, final_labels, ok, num_ec); when ``ok`` is False (component
     budget overflow in the device meta_inference, see ops/meta_post_tpu)
     the caller redoes the post-processing on the host oracle from
     ``raw_labels``."""
-    from ..ops.meta_post_tpu import count_roots_tpu, meta_inference_tpu
+    from ..ops.cc_pallas import stitch_labels_pallas
 
-    labels = _segment_patches_impl(params, patches_u8, forward_fn, positions, dtype)
+    label_patches = _patch_labels_fn(params, patches_u8, forward_fn, dtype)
+    labels = stitch_labels_pallas(label_patches, positions)
+    return labels, _post_blob(labels)
+
+
+def _post_blob(labels):
+    """meta_inference + ec count + 2-bit packing, emitted as ONE uint8 blob
+    (header row: ok flag + little-endian count; then the packed label rows).
+    This attachment fetches device bytes at ~27 MB/s and each fetch pays a
+    ~40 ms round trip, so the per-image result must be one small transfer
+    (16x smaller than the int32 canvas; see ops/packing)."""
+    from ..ops.meta_post_tpu import count_roots_tpu, meta_inference_tpu
+    from ..ops.packing import pack_labels_2bit_jax
+
     out, ok = meta_inference_tpu(labels)
     num_ec = count_roots_tpu(out == 3)
-    return labels, out, ok, num_ec
+    packed = pack_labels_2bit_jax(out)
+    header = jnp.zeros((1, packed.shape[1]), jnp.uint8)
+    header = header.at[0, 0].set(ok.astype(jnp.uint8))
+    nb = num_ec.astype(jnp.uint32)
+    for k in range(4):
+        header = header.at[0, 1 + k].set(((nb >> (8 * k)) & 0xFF).astype(jnp.uint8))
+    return jnp.concatenate([header, packed], axis=0)
+
+
+def _decode_post_blob(blob: np.ndarray, w: int):
+    """Host side of :func:`_post_blob`: (ok, final int64 labels, num_ec)."""
+    from ..ops.packing import unpack_labels_2bit
+
+    ok = bool(blob[0, 0])
+    num_ec = int(blob[0, 1]) | int(blob[0, 2]) << 8 | int(blob[0, 3]) << 16 | int(blob[0, 4]) << 24
+    labels = unpack_labels_2bit(blob[1:], w).astype(np.int64)
+    return ok, labels, num_ec
 
 
 def _prepare_image(image_path: str, save_dapi: bool = True):
@@ -282,16 +313,12 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         return I, count_cc(I == 3)[0]
 
     def _device_post(labels_dev):
-        """meta_inference + ec count on device; host oracle on budget
-        overflow (ops/meta_post_tpu contract)."""
-        from ..ops.meta_post_tpu import count_roots_tpu, meta_inference_tpu
-
-        out, ok = meta_inference_tpu(labels_dev)
-        if bool(ok):
-            return (
-                np.asarray(out).astype(np.int64),
-                int(count_roots_tpu(out == 3)),
-            )
+        """meta_inference + ec count on device, fetched as one packed blob;
+        host oracle on budget overflow (ops/meta_post_tpu contract)."""
+        blob = np.asarray(jax.jit(_post_blob)(labels_dev))
+        ok, I, num = _decode_post_blob(blob, labels_dev.shape[1])
+        if ok:
+            return I, num
         return _host_post(np.asarray(labels_dev).astype(np.int64))
 
     if len(jax.devices()) > 1:
@@ -312,15 +339,17 @@ def main(argv=None, config: Optional[Config] = None) -> int:
             for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):
                 if device_post:
                     # ONE device program: forward -> stitch -> meta_inference
-                    # -> ec count (host fallback only on budget overflow)
+                    # -> ec count, fetched as ONE packed blob (host fallback
+                    # only on budget overflow)
                     with stage("metaseg.forward+post"):
-                        raw, out, ok, num_ec = _segment_post_jit(
+                        raw, blob = _segment_post_jit(
                             params, jnp.asarray(patches), forward_fn, pos,
                             jnp.float32,
                         )
-                        if bool(ok):
-                            I, num = np.asarray(out).astype(np.int64), int(num_ec)
-                        else:
+                        ok, I, num = _decode_post_blob(
+                            np.asarray(blob), raw.shape[1]
+                        )
+                        if not ok:
                             I, num = _host_post(np.asarray(raw).astype(np.int64))
                     yield i, I, num
                 else:

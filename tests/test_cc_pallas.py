@@ -120,3 +120,24 @@ def test_fused_stitch_count_irregular_geometries(rng, shape):
     stitched = tiling.stitch_labels_host(patches, positions)
     ref_n, ref_px = count_cc_pallas(jnp.asarray(stitched == 3), connectivity=2)
     assert (int(n), int(px)) == (int(ref_n), int(ref_px))
+
+
+def test_stitch_labels_pallas_matches_host(rng):
+    """The one-kernel Pallas stitch must equal the host stitcher on
+    regular and irregular geometries (incl. the reference's rim rules)."""
+    import jax.numpy as jnp
+
+    from ecseg_tpu.ops import tiling
+    from ecseg_tpu.ops.cc_pallas import stitch_labels_pallas
+
+    for h, w in [(512, 512), (462, 874), (306, 306)]:
+        img = rng.integers(0, 4, size=(h, w)).astype(np.float32)
+        _, patches, pos = tiling.im2patches_overlap(img[..., None])
+        label_patches = patches[..., 0].astype(np.int32)
+        want = tiling.stitch_labels_host(label_patches, pos)
+        got = np.asarray(
+            stitch_labels_pallas(
+                jnp.asarray(label_patches), tuple(map(tuple, pos))
+            )
+        )
+        np.testing.assert_array_equal(got, want)
