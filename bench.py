@@ -131,14 +131,21 @@ def build(arch: str = "default", full: bool = False):
 
     @jax.jit
     def run(params, chunks):  # (NCHUNKS, BATCH, 25, 256, 256, 1) -> counts
+        if full:
+            # meta_inference's Pallas fixpoints are per-canvas: scan over
+            # the tiles one program at a time (vmapped/nested-map variants
+            # measure ~4x slower for the while-loop-heavy body)
+            tiles = chunks.reshape((-1,) + chunks.shape[2:])
+            n = tiles.shape[0]
+
+            def step_t(carry, idx):
+                return carry, fn(params, tiles[idx % n])
+
+            _, out = jax.lax.scan(step_t, 0, jnp.arange(n * PASSES))
+            return out  # (N_TILES * PASSES,)
+
         def step(carry, idx):
-            batch = chunks[idx % nchunks]
-            if full:
-                # meta_inference's Pallas labelings run per canvas;
-                # lax.map keeps them un-vmapped
-                counts = jax.lax.map(lambda t: fn(params, t), batch)
-            else:
-                counts = jax.vmap(lambda t: fn(params, t))(batch)
+            counts = jax.vmap(lambda t: fn(params, t))(chunks[idx % nchunks])
             return carry, counts
 
         _, out = jax.lax.scan(step, 0, jnp.arange(nchunks * PASSES))
@@ -163,7 +170,7 @@ def build(arch: str = "default", full: bool = False):
 def measure(arch: str, full: bool = False):
     run, params, chunks = build(arch, full=full)
     counts = np.asarray(run(params, chunks))  # compile + sync
-    assert int(counts[0, 0]) > 10, "mask degenerated; bench invalid"
+    assert int(counts.reshape(-1)[0]) > 10, "mask degenerated; bench invalid"
     np.asarray(run(params, chunks))  # warmup
 
     total = chunks.shape[0] * chunks.shape[1] * PASSES

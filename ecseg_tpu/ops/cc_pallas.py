@@ -315,26 +315,40 @@ def _segscan_max_axis(r, mp, axis, size, border, idx_along):
     return jnp.where(mp != 0, jnp.maximum(fwd, bwd), 0)
 
 
-def _flood_border_kernel(h, w):
-    """Reachability of the true-image border through 4-connected runs of a
-    traversable mask -- the fixpoint behind hole filling, with no labeling
-    and no scatter."""
+def _flood_kernel(h, w, connectivity, seeded):
+    """Reachability fixpoint through runs of a traversable mask, with no
+    labeling and no scatter.  Seeds: the true-image border
+    (``seeded=False``, hole filling) or an explicit seed mask
+    (``seeded=True``, e.g. merge_comp's touches-class flood)."""
     hp, wp = _padded_dims(h, w)
 
-    def kernel(mask_ref, out_ref):
+    def kernel(*refs):
+        if seeded:
+            mask_ref, seed_ref, out_ref = refs
+        else:
+            mask_ref, out_ref = refs
         mp = jnp.pad(mask_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w)))
         rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
         cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-        on_border = (
-            (rows == 0) | (rows == h - 1) | (cols == 0) | (cols == w - 1)
-        )
-        r = jnp.where((mp != 0) & on_border, 1, 0).astype(jnp.int32)
+        if seeded:
+            seeds = jnp.pad(
+                seed_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w))
+            ) != 0
+        else:
+            seeds = (
+                (rows == 0) | (rows == h - 1) | (cols == 0) | (cols == w - 1)
+            )
+        r = jnp.where((mp != 0) & seeds, 1, 0).astype(jnp.int32)
 
         def sweep(r):
             n = jnp.maximum(r, jnp.roll(r, 1, 1))
             n = jnp.maximum(n, jnp.roll(r, -1, 1))
-            n = jnp.maximum(n, jnp.roll(r, 1, 0))
-            n = jnp.maximum(n, jnp.roll(r, -1, 0))
+            if connectivity == 2:
+                n = jnp.maximum(n, jnp.roll(n, 1, 0))
+                n = jnp.maximum(n, jnp.roll(n, -1, 0))
+            else:
+                n = jnp.maximum(n, jnp.roll(r, 1, 0))
+                n = jnp.maximum(n, jnp.roll(r, -1, 0))
             return jnp.where(mp != 0, n, 0)
 
         def delta(new, old):
@@ -380,13 +394,37 @@ def flood_from_border_pallas(traversable: jnp.ndarray) -> jnp.ndarray:
     h, w = traversable.shape
     m = traversable.astype(jnp.int32)[None]
     out = pl.pallas_call(
-        _flood_border_kernel(h, w),
+        _flood_kernel(h, w, 1, False),
         out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(m)
+    return out[0] != 0
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def flood_from_seeds_pallas(
+    traversable: jnp.ndarray, seeds: jnp.ndarray, connectivity: int = 2
+) -> jnp.ndarray:
+    """Boolean (H, W): pixels of ``traversable`` connected (4- or 8-) to any
+    seed pixel through traversable runs -- the scatter-free form of
+    "which components contain a marked pixel"."""
+    h, w = traversable.shape
+    m = traversable.astype(jnp.int32)[None]
+    s = seeds.astype(jnp.int32)[None]
+    out = pl.pallas_call(
+        _flood_kernel(h, w, connectivity, True),
+        out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(m, s)
     return out[0] != 0
 
 

@@ -194,32 +194,67 @@ def _mean_area(flat, mask, hw):
     return total / num  # 0/0 -> NaN
 
 
+MAX_COMP = 4096  # per-class component budget for the size-threshold stage
+
+
+def _class_size_stats(mask, hw):
+    """(flat, compacted roots, per-root pixel counts, valid, true count)
+    for one class mask -- all via the scatter-free eq-matmul reductions."""
+    flat = _flat_roots(mask)
+    num = _num_roots(flat, hw)
+    roots = _compact_roots(flat, hw, MAX_COMP)
+    valid = roots < hw
+    counts = _eq_segment_sums(
+        flat, roots, jnp.ones((1, flat.shape[0]), jnp.float32)
+    )[0]
+    return flat, roots, jnp.where(valid, counts, 0), valid, num
+
+
 def _size_thresh(img, hw):
     """Mean-size thresholds (reference src/image_tools.py:41-59): nuclei
     smaller than the mean chromosome -> background, chromosomes smaller
     than the mean ecDNA -> ecDNA, then the STALE pre-conversion ecDNA list
-    below EC_SIZE_THRESHOLD -> background."""
+    below EC_SIZE_THRESHOLD -> background.  Returns (img, ok); ok False on
+    per-class component-budget overflow (host oracle takes over)."""
     nuc = img == 1
     chrom = img == 2
     ec = img == 3
+    shape = img.shape
 
-    chrom_flat = _flat_roots(chrom)
-    avg_chrom = _mean_area(chrom_flat, chrom, hw)
-    nuc_flat = _flat_roots(nuc)
-    nuc_sizes = _size_lut(nuc_flat, hw)[nuc_flat].reshape(img.shape)
-    img = jnp.where(jnp.logical_and(nuc, nuc_sizes < avg_chrom), 0, img)
+    def mean(mask, num):
+        total = jnp.sum(mask, dtype=jnp.int32).astype(jnp.float32)
+        return total / num.astype(jnp.float32)  # 0/0 -> NaN (np.mean([]))
+
+    c_flat, c_roots, c_counts, c_valid, c_num = _class_size_stats(chrom, hw)
+    n_flat, n_roots, n_counts, n_valid, n_num = _class_size_stats(nuc, hw)
+    avg_chrom = mean(chrom, c_num)
+    small_nuc = jnp.logical_and(n_valid, n_counts < avg_chrom)  # NaN -> False
+    img = jnp.where(
+        _per_pixel_root_flag(n_flat, n_roots, small_nuc).reshape(shape),
+        0,
+        img,
+    )
 
     # chromosome pixels are untouched by the nuclei pass, so the reference's
     # re-labeling (image_tools.py:50) yields the same components
-    ec_flat = _flat_roots(ec)
-    avg_ec = _mean_area(ec_flat, ec, hw)
-    chrom_sizes = _size_lut(chrom_flat, hw)[chrom_flat].reshape(img.shape)
-    img = jnp.where(jnp.logical_and(chrom, chrom_sizes < avg_ec), 3, img)
+    e_flat, e_roots, e_counts, e_valid, e_num = _class_size_stats(ec, hw)
+    avg_ec = mean(ec, e_num)
+    conv_chrom = jnp.logical_and(c_valid, c_counts < avg_ec)
+    img = jnp.where(
+        _per_pixel_root_flag(c_flat, c_roots, conv_chrom).reshape(shape),
+        3,
+        img,
+    )
 
     # stale list: sizes from the PRE-conversion ec components
-    ec_sizes = _size_lut(ec_flat, hw)[ec_flat].reshape(img.shape)
-    img = jnp.where(jnp.logical_and(ec, ec_sizes < EC_SIZE_THRESHOLD), 0, img)
-    return img
+    small_ec = jnp.logical_and(e_valid, e_counts < EC_SIZE_THRESHOLD)
+    img = jnp.where(
+        _per_pixel_root_flag(e_flat, e_roots, small_ec).reshape(shape),
+        0,
+        img,
+    )
+    ok = (c_num <= MAX_COMP) & (n_num <= MAX_COMP) & (e_num <= MAX_COMP)
+    return img, ok
 
 
 def _compact_roots(flat, hw, max_n: int):
@@ -238,26 +273,76 @@ def _compact_roots(flat, hw, max_n: int):
     return jnp.where(jnp.logical_or(idx >= hw, roots >= hw), hw, roots)
 
 
+_EQ_BLOCK = 8192
+
+
+def _eq_segment_sums(flat, roots, payloads):
+    """Exact per-root segment sums via blocked one-hot matmuls: for each
+    payload row p, sums[p][k] = sum over pixels of payload[p] where
+    flat == roots[k].  ~2.5x cheaper than a 1M scatter-add on this chip and
+    ~4x cheaper than scatter-LUT + per-pixel gather.
+
+    ``payloads``: (P, hw) f32 with values small enough that any
+    _EQ_BLOCK-sized partial sum stays < 2^24 (exact in f32); blocks are
+    accumulated in int32.
+    """
+    max_n = roots.shape[0]
+    pad = (-flat.shape[0]) % _EQ_BLOCK
+    if pad:
+        # padded pixels carry an id matching no root (and zero payload)
+        flat = jnp.concatenate([flat, jnp.full(pad, 2**30, jnp.int32)])
+        payloads = jnp.pad(payloads, ((0, 0), (0, pad)))
+    nblk = flat.shape[0] // _EQ_BLOCK
+    fblocks = flat.reshape(nblk, _EQ_BLOCK)
+    pblocks = payloads.reshape(payloads.shape[0], nblk, _EQ_BLOCK).transpose(
+        1, 0, 2
+    )
+
+    def step(acc, blk):
+        fb, pb = blk
+        eq = (fb[:, None] == roots[None, :]).astype(jnp.float32)
+        return acc + (pb @ eq).astype(jnp.int32), ()
+
+    acc, _ = lax.scan(
+        step, jnp.zeros((payloads.shape[0], max_n), jnp.int32), (fblocks, pblocks)
+    )
+    return acc
+
+
+def _per_pixel_root_flag(flat, roots, flags):
+    """Per-pixel boolean: flags[k] of the pixel's component (False on
+    background / non-compacted roots), via the same blocked one-hot
+    matmuls.  Callers must pass flags=False on invalid (padded) roots."""
+    n = flat.shape[0]
+    pad = (-n) % _EQ_BLOCK
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full(pad, 2**30, jnp.int32)])
+    nblk = flat.shape[0] // _EQ_BLOCK
+    fblocks = flat.reshape(nblk, _EQ_BLOCK)
+    fl = flags.astype(jnp.float32)
+
+    def step(c, fb):
+        eq = (fb[:, None] == roots[None, :]).astype(jnp.float32)
+        return c, (eq @ fl) > 0.5
+
+    _, out = lax.scan(step, 0, fblocks)
+    return out.reshape(-1)[:n]
+
+
 def _component_sums(mask, hw, max_n: int):
     """Compacted per-component exact coordinate sums for up to ``max_n``
     8-connected components: returns dict with 4-limb Sy/Sx, 2-limb N, a
     validity mask, the true component count, the per-pixel flat roots, and
     the compacted root indices.
 
-    Coordinate sums are accumulated overflow-free in int32 via a hi/lo
-    split (coord = 64*(coord>>6) + (coord&63)), then converted to exact
-    base-2^11 limbs.
+    Coordinate sums are accumulated overflow-free via a hi/lo split
+    (coord = 64*(coord>>6) + (coord&63)) through exact blocked one-hot
+    matmuls, then converted to exact base-2^11 limbs.
     """
     h, w = mask.shape
     flat = _flat_roots(mask)
     rows = jnp.arange(hw, dtype=jnp.int32) // w
     cols = jnp.arange(hw, dtype=jnp.int32) % w
-
-    n_lut = _size_lut(flat, hw)
-    sy_hi = jnp.zeros(hw + 1, jnp.int32).at[flat].add(rows >> 6)
-    sy_lo = jnp.zeros(hw + 1, jnp.int32).at[flat].add(rows & 63)
-    sx_hi = jnp.zeros(hw + 1, jnp.int32).at[flat].add(cols >> 6)
-    sx_lo = jnp.zeros(hw + 1, jnp.int32).at[flat].add(cols & 63)
 
     idx = jnp.arange(hw, dtype=jnp.int32)
     is_root = jnp.logical_and(flat == idx, flat < hw)
@@ -265,15 +350,24 @@ def _component_sums(mask, hw, max_n: int):
     roots = _compact_roots(flat, hw, max_n)
     valid = roots < hw
 
-    # mask sentinel-slot garbage (background accumulations can overflow on
-    # huge images) out of every limb before decomposition
-    def g(lut):
-        return jnp.where(valid, lut[roots], 0)
+    payloads = jnp.stack(
+        [
+            jnp.ones(hw, jnp.float32),
+            (rows >> 6).astype(jnp.float32),
+            (rows & 63).astype(jnp.float32),
+            (cols >> 6).astype(jnp.float32),
+            (cols & 63).astype(jnp.float32),
+        ]
+    )
+    sums = _eq_segment_sums(flat, roots, payloads)
+    n, sy_hi, sy_lo, sx_hi, sx_lo = (
+        jnp.where(valid, sums[k], 0) for k in range(5)
+    )
 
     return dict(
-        sy=_sum_limbs(g(sy_hi), g(sy_lo)),
-        sx=_sum_limbs(g(sx_hi), g(sx_lo)),
-        n=_limbs(g(n_lut), 2),
+        sy=_sum_limbs(sy_hi, sy_lo),
+        sx=_sum_limbs(sx_hi, sx_lo),
+        n=_limbs(n, 2),
         valid=valid,
         num=num,
         flat=flat,
@@ -347,23 +441,24 @@ def _merge_comp(img, class_id: int, hw):
     label == the component with the largest root index (the reference's
     range(1, num_features) off-by-one, src/image_tools.py:18-33); then the
     grey-opening smoothing write and the sibling restore."""
+    from .cc_pallas import flood_from_seeds_pallas
+
     mask_id = 1 if class_id == 2 else 2
     temp = img == mask_id
     img = jnp.where(temp, 0, img)
 
     fg = img != 0
+    # "component contains a class_id pixel" as a seed flood (no scatter);
+    # the labeling is still needed for the skipped-last-label quirk
+    touched = flood_from_seeds_pallas(fg, img == class_id, connectivity=2)
     flat = _flat_roots(fg)
     idx = jnp.arange(hw, dtype=jnp.int32)
     is_root = jnp.logical_and(flat == idx, flat < hw)
     max_root = jnp.max(jnp.where(is_root, idx, -1))
 
-    touched = jnp.zeros(hw + 1, bool).at[
-        jnp.where((img == class_id).reshape(-1), flat, hw)
-    ].set(True)
-    touched = touched.at[hw].set(False)
     merged = jnp.logical_and(
-        touched[flat], flat != max_root
-    ).reshape(img.shape)
+        touched, (flat != max_root).reshape(img.shape)
+    )
     img = jnp.where(merged, class_id, img)
 
     img = jnp.where(_gray_opening_d1(img) == class_id, class_id, img)
@@ -390,7 +485,7 @@ def meta_inference_tpu(img: jnp.ndarray):
 
     img = _fill_holes_class(img, 1)
     img = _fill_holes_class(img, 2)
-    img = _size_thresh(img, hw)
+    img, ok_sizes = _size_thresh(img, hw)
 
     ec = img == 3
     ring = jnp.logical_xor(
@@ -399,6 +494,7 @@ def meta_inference_tpu(img: jnp.ndarray):
     img = jnp.where(ring, 0, img)
 
     img, ok = _metaphase_removal(img, hw)
+    ok = jnp.logical_and(ok, ok_sizes)
 
     img = _merge_comp(img, 1, hw)
     img = _merge_comp(img, 2, hw)

@@ -33,20 +33,31 @@ def main():
     vals = jnp.asarray(rng.random(hw).astype(np.float32))
 
     def bench(name, fn, *args):
+        # scan over n_iter GENUINELY different inputs: a `x + 0*i`
+        # perturbation is constant-folded by XLA and silently hoists the
+        # whole body out of the loop
+        def stackit(x):
+            outs = [x]
+            for k in range(1, n_iter):
+                outs.append(jnp.roll(x, k, axis=0))
+            return jnp.stack(outs)
+
+        xs = tuple(stackit(a) for a in args)
+
         @jax.jit
-        def loop(*a):
-            def step(c, i):
-                r = fn(*[x + 0 * i if jnp.issubdtype(x.dtype, jnp.integer) else x for x in a])
+        def loop(*xs):
+            def step(c, a):
+                r = fn(*a)
                 return c + jnp.sum(r).astype(jnp.float32), ()
 
-            out, _ = lax.scan(step, jnp.float32(0), jnp.arange(n_iter))
+            out, _ = lax.scan(step, jnp.float32(0), xs)
             return out
 
-        np.asarray(loop(*args))
+        np.asarray(loop(*xs))
         t0 = time.perf_counter()
         reps = 3
         for _ in range(reps):
-            np.asarray(loop(*args))
+            np.asarray(loop(*xs))
         dt = (time.perf_counter() - t0) / reps
         print(f"{name}: {dt / n_iter * 1000:.2f} ms/iter", flush=True)
 
