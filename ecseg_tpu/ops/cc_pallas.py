@@ -58,6 +58,23 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Empirical compile envelope of the VMEM-resident fixpoint kernels on this
+# attachment: the 1032x1152-padded (1024^2-image) variants compile in
+# minutes and run in ~5 ms; the 2056x2176-padded (2048^2) variants hold
+# ~6-8 map-sized temporaries live (>100 MB) and crash the Mosaic
+# remote-compile service.  Above this per-map byte gate every entry point
+# falls back to the XLA formulations (ops/cc_tpu + scatter marks), which
+# compile fine at any geometry.
+_PALLAS_MAX_MAP_BYTES = 6 * 1024 * 1024
+
+
+def _fits_vmem(h: int, w: int) -> bool:
+    if _interpret():
+        return True  # interpret mode has no VMEM; keep one code path in CI
+    hp, wp = _padded_dims(h, w)
+    return hp * wp * 4 <= _PALLAS_MAX_MAP_BYTES
+
+
 def _padded_dims(h: int, w: int):
     hp = -(-(h + 1) // _ROW_PAD) * _ROW_PAD + _ROW_PAD
     wp = -(-(w + 1) // _COL_PAD) * _COL_PAD + _COL_PAD
@@ -224,6 +241,10 @@ def count_cc_pallas(mask: jnp.ndarray, connectivity: int = 2):
     """On-device (num_components, total_foreground_pixels) for one (H, W)
     binary mask -- drop-in for cc_tpu.count_cc_tpu, ~10x faster on TPU."""
     h, w = mask.shape
+    if not _fits_vmem(h, w):
+        from .cc_tpu import count_cc_tpu
+
+        return count_cc_tpu(mask, connectivity=connectivity)
     mask = mask.astype(jnp.int32)[None]
     count, px = pl.pallas_call(
         _count_kernel(h, w, connectivity),
@@ -269,6 +290,17 @@ def count_cc_from_patches(
     w_l = int(pos[:, 1].max())
     copies, H, W = _stitch_plan_cached(pos_key, OVERLAP, SCW, h_l, w_l)
     hp, wp = _padded_dims(H, W)
+    n = label_patches.shape[0]
+    if (
+        not _fits_vmem(H, W)
+        or 4 * (n * SCW * SCW + hp * wp) > 45 * 1024 * 1024
+    ):
+        from .tiling import stitch_patches_jax
+
+        canvas = stitch_patches_jax(
+            label_patches.astype(jnp.int32)[..., None], positions
+        )[..., 0]
+        return count_cc_pallas(canvas == class_id, connectivity=connectivity)
     count, px = pl.pallas_call(
         _count_from_patches_kernel(tuple(copies), H, W, class_id, connectivity),
         out_shape=(
@@ -386,12 +418,33 @@ def _flood_kernel(h, w, connectivity, seeded):
     return kernel
 
 
+def _flood_xla(traversable, seeds, connectivity):
+    """XLA flood fallback for geometries beyond the Pallas VMEM envelope:
+    label the traversable mask, mark seed components via one scatter."""
+    from .cc_tpu import label_tpu
+
+    h, w = traversable.shape
+    lab = label_tpu(traversable, connectivity=connectivity)
+    flat = jnp.where(lab < 0, h * w, lab).reshape(-1)
+    marks = jnp.zeros(h * w + 1, bool).at[
+        jnp.where(seeds.reshape(-1), flat, h * w)
+    ].set(True)
+    marks = marks.at[h * w].set(False)
+    return marks[flat].reshape(h, w)
+
+
 @jax.jit
 def flood_from_border_pallas(traversable: jnp.ndarray) -> jnp.ndarray:
     """Boolean (H, W): pixels of ``traversable`` 4-connected to the image
     border through traversable runs.  ``binary_fill_holes(mask)`` ==
     ``mask | (~mask & ~flood_from_border(~mask))``."""
     h, w = traversable.shape
+    if not _fits_vmem(h, w):
+        border = jnp.zeros((h, w), bool)
+        border = border.at[0, :].set(True).at[-1, :].set(True)
+        border = border.at[:, 0].set(True).at[:, -1].set(True)
+        trav = traversable != 0
+        return _flood_xla(trav, jnp.logical_and(trav, border), 1)
     m = traversable.astype(jnp.int32)[None]
     out = pl.pallas_call(
         _flood_kernel(h, w, 1, False),
@@ -412,6 +465,8 @@ def flood_from_seeds_pallas(
     seed pixel through traversable runs -- the scatter-free form of
     "which components contain a marked pixel"."""
     h, w = traversable.shape
+    if not _fits_vmem(h, w):
+        return _flood_xla(traversable != 0, seeds != 0, connectivity)
     m = traversable.astype(jnp.int32)[None]
     s = seeds.astype(jnp.int32)[None]
     out = pl.pallas_call(
@@ -476,6 +531,10 @@ def label_pallas(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarray:
     """Canonical min-index labeling of one (H, W) binary mask; background is
     -1.  Identical output contract to cc_tpu.label_tpu."""
     h, w = mask.shape
+    if not _fits_vmem(h, w):
+        from .cc_tpu import label_tpu
+
+        return label_tpu(mask, connectivity=connectivity)
     mask = mask.astype(jnp.int32)[None]
     lab = pl.pallas_call(
         _label_kernel(h, w, connectivity),

@@ -147,12 +147,13 @@ def meta_segment(
 
 
 def _patch_labels_fn(params, patches_u8, forward_fn, dtype):
-    """(N, 256, 256, 1) uint8 -> (N, 256, 256) int32 per-patch label maps:
+    """(N, 256, 256, 1) uint8 -> (N, 256, 256) uint8 per-patch label maps:
     forward + uint8 quantization + channel argmax (the stitch-commuting form,
-    see stitch_argmax_jax)."""
+    see stitch_argmax_jax).  uint8 keeps the sharded path's device->host
+    label traffic 4x smaller."""
     probs = forward_fn(params, patches_u8, dtype)
     u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
-    return jnp.argmax(u8, axis=-1).astype(jnp.int32)
+    return jnp.argmax(u8, axis=-1).astype(jnp.uint8)
 
 
 def segment_folder_sharded(

@@ -141,3 +141,38 @@ def test_stitch_labels_pallas_matches_host(rng):
             )
         )
         np.testing.assert_array_equal(got, want)
+
+
+def test_vmem_gate_fallbacks_match_pallas(rng, monkeypatch):
+    """Beyond the Pallas VMEM envelope the entry points fall back to the
+    XLA formulations; force the gate shut and assert identical results."""
+    import jax.numpy as jnp
+
+    from ecseg_tpu.ops import cc_pallas
+
+    m = rng.random((96, 128)) < 0.3
+    seeds = rng.random((96, 128)) < 0.02
+    want_lab = np.asarray(cc_pallas.label_pallas(jnp.asarray(m)))
+    want_cnt = tuple(
+        int(v) for v in cc_pallas.count_cc_pallas(jnp.asarray(m))
+    )
+    want_fb = np.asarray(cc_pallas.flood_from_border_pallas(jnp.asarray(m)))
+    want_fs = np.asarray(
+        cc_pallas.flood_from_seeds_pallas(jnp.asarray(m), jnp.asarray(seeds))
+    )
+
+    monkeypatch.setattr(cc_pallas, "_fits_vmem", lambda h, w: False)
+    jax_clear = __import__("jax").clear_caches
+    jax_clear()
+    got_lab = np.asarray(cc_pallas.label_pallas(jnp.asarray(m)))
+    got_cnt = tuple(int(v) for v in cc_pallas.count_cc_pallas(jnp.asarray(m)))
+    got_fb = np.asarray(cc_pallas.flood_from_border_pallas(jnp.asarray(m)))
+    got_fs = np.asarray(
+        cc_pallas.flood_from_seeds_pallas(jnp.asarray(m), jnp.asarray(seeds))
+    )
+    jax_clear()
+
+    np.testing.assert_array_equal(got_lab, want_lab)
+    assert got_cnt == want_cnt
+    np.testing.assert_array_equal(got_fb, want_fb)
+    np.testing.assert_array_equal(got_fs, want_fs)
