@@ -12,6 +12,12 @@ import os
 import re
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Subprocess hermeticity: this box's sitecustomize re-pins jax to the axon
+# TPU platform (overriding JAX_PLATFORMS) whenever PALLAS_AXON_POOL_IPS is
+# set.  Tests that spawn subprocesses (make_demo_weights, the training e2e)
+# must NOT inherit it, or the whole suite hangs whenever the chip is busy or
+# wedged -- the suite is CPU-only by design.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 _flags = re.sub(
     r"--xla_force_host_platform_device_count=\d+",
     "",

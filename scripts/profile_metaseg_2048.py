@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """End-to-end device metaseg timing at the reference's full 2048^2 image
 size: forward -> Pallas stitch -> device meta_inference -> packed fetch.
-Validates the Pallas kernels' VMEM budgets at this geometry and reports
+At this geometry the cc_pallas entry points are beyond the Pallas VMEM
+compile envelope (cc_pallas._fits_vmem) and take their XLA fallbacks --
+this script validates that gated path end-to-end on the chip and reports
 steady-state seconds/image (the VERDICT r1 target is <= 0.8 s)."""
 
 import os
