@@ -176,8 +176,15 @@ class _K3Fetcher:
         return [np.array(vars_g[i]) for i in sorted(vars_g.keys(), key=int)]
 
     def child(self, layer_name: str, child_layers_cfg) -> "_K3Fetcher":
-        key = self.map[layer_name]
-        sub = self.group[key]["layers"] if key in self.group else None
+        # mirror fetch()'s defenses: a weightless nested wrapper may have no
+        # group at this level (self.group is None after a prior empty child)
+        # or no entry for this layer -- descend to an empty fetcher so its
+        # own weightless sublayers still import
+        key = self.map.get(layer_name)
+        sub = None
+        if key is not None and self.group is not None and key in self.group:
+            g = self.group[key]
+            sub = g["layers"] if "layers" in g else None
         return _K3Fetcher(sub, child_layers_cfg)
 
 

@@ -96,15 +96,21 @@ def unet_forward(
     valid output position computes EXACTLY what the unpadded program would
     (same-pad zero semantics at the true boundary; pool windows never
     straddle the boundary because both the crop and the buckets are /16).
+
+    ``valid_hw`` may be TRACED scalars: the masking is iota-compare (no
+    shape-dependent slicing), so all true geometries within one bucket share
+    ONE compiled program -- the whole point of the bucketing (a static
+    valid_hw would re-specialize the cache key per geometry and compile
+    once per image size anyway).
     """
 
     def m(x, level):
         if valid_hw is None:
             return x
         vh, vw = valid_hw[0] >> level, valid_hw[1] >> level
-        if vh == x.shape[1] and vw == x.shape[2]:
-            return x
-        return x.at[:, vh:, :, :].set(0.0).at[:, :, vw:, :].set(0.0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1], 1, 1), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[2], 1), 2)
+        return x * jnp.logical_and(rows < vh, cols < vw).astype(x.dtype)
 
     def block(name_a, name_b, x, level):
         x = m(relu(conv2d(x, p[name_a]["kernel"], p[name_a]["bias"])), level)

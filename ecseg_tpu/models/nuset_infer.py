@@ -74,28 +74,25 @@ def init_nuset_model(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("valid_hw",))
+@jax.jit
 def _mask_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
-    """Pass 1: normalized image (1, H, W, 1) -> fg mask (H, W) float32,
-    cropped to ``valid_hw`` when the input was bucket-padded."""
+    """Pass 1: normalized image (1, H, W, 1) -> fg mask (Hb, Wb) float32.
+    ``valid_hw`` is a pair of TRACED scalars (not a static cache key), so
+    every true geometry within one bucket shares one compiled program; the
+    padded mask is cropped back to (H, W) on the host (a device crop would
+    need a shape-dependent -- hence geometry-specialized -- program)."""
     logits, _ = nuset.unet_forward(unet_params, image, valid_hw)
-    mask = nuset.pred_mask(logits)
-    if valid_hw is not None:
-        mask = mask[: valid_hw[0], : valid_hw[1]]
-    return mask
+    return nuset.pred_mask(logits)
 
 
-@functools.partial(jax.jit, static_argnames=("valid_hw",))
+@jax.jit
 def _mask_and_feat_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
     logits, feat = nuset.unet_forward(unet_params, image, valid_hw)
-    mask = nuset.pred_mask(logits)
-    if valid_hw is not None:
-        mask = mask[: valid_hw[0], : valid_hw[1]]
-    return mask, feat
+    return nuset.pred_mask(logits), feat
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n", "valid_grid")
+    jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n")
 )
 def _proposal_pass(
     rpn_params: Dict,
@@ -115,7 +112,8 @@ def _proposal_pass(
     to -inf score, which reproduces the unpadded selection exactly (valid
     anchors keep identical scores and relative raster order, so top-k and
     NMS tie-breaking are unchanged; -inf fillers never become valid
-    proposals)."""
+    proposals).  Traced scalars, like ``valid_hw`` above -- one program per
+    bucket, not per geometry."""
     pred = nuset.rpn_forward(rpn_params, feat)
     all_scores = pred["rpn_cls_prob"][:, 1]
     all_proposals = box_ops.decode(all_anchors, pred["rpn_bbox_pred"])
@@ -195,10 +193,14 @@ def nuset_forward(
         image_norm = padded
     x = jnp.asarray(image_norm, jnp.float32).reshape(1, Hb, Wb, 1)
     if not pass_two:
-        return np.asarray(_mask_pass(model.unet_whole, x, valid_hw))
+        mask = np.asarray(_mask_pass(model.unet_whole, x, valid_hw))
+        return mask[:H, :W] if valid_hw is not None else mask
 
     mask_dev, feat = _mask_and_feat_pass(model.unet_fg, x, valid_hw)
-    mask = np.asarray(mask_dev)  # already cropped to (H, W)
+    mask = np.asarray(mask_dev)
+    if valid_hw is not None:
+        mask = mask[:H, :W]  # host-side crop keeps the device program
+        # geometry-independent within the bucket
 
     # host boundary #1: dynamic anchor base size (reference anchor_size.py)
     base_size = anchor_size_from_mask(mask)
@@ -269,6 +271,12 @@ def nuclei_segment(
 
         device_cleanup = use_device_path()
     resize_scale = model.resize_scale
+    if resize_scale > 1:
+        # the host oracle's rescale(masks, 1/resize_scale) is then a
+        # DOWNscale, for which skimage auto-enables a gaussian anti-aliasing
+        # prefilter that the device twin (plain bilinear matmul resize) does
+        # not replicate -- keep such configs on the host chain
+        device_cleanup = False
     if resize_scale != 1:
         image = rescale(image, resize_scale, anti_aliasing=True)
 

@@ -18,9 +18,12 @@ A centroid is the rational Sx/N (coordinate sum over area); the band test
 reach ~2^55 -- beyond int32 and f32, and jax x64 is unavailable here.  The
 products are therefore computed in base-2^11 limb arithmetic on int32
 lanes (exact), with coordinate sums accumulated overflow-free via a hi/lo
-split.  The only approximation left is none; the ``ok`` output flag covers
-just the static component-count budgets (MAX_CHROM/MAX_NUC), and the
-caller redoes an image on the host oracle when it overflows.
+split.  The device tests are EXACT -- which means they can disagree with
+the host oracle's float64-ROUNDED comparisons when a pair's rational gap
+falls inside the oracle's rounding error; such near-ties clear the ``ok``
+output flag (see _metaphase_removal), as do the static component-count
+budgets (MAX_CHROM/MAX_NUC).  The caller redoes an image on the host
+oracle whenever ``ok`` is False.
 
 Quirks replicated from the reference (same list as ops/meta_post.py):
 skipped-last-label in merge_comp (scipy's raster-encounter "last" label is
@@ -184,14 +187,6 @@ def _fill_holes_class(img, class_id: int):
     src/image_tools.py:36-39,61; scipy default 4-connected background)."""
     filled = binary_fill_holes_tpu(img == class_id)
     return jnp.where(filled, class_id, img)
-
-
-def _mean_area(flat, mask, hw):
-    """f32 mean component area; 0/0 -> NaN exactly like np.mean([]) so
-    comparisons against it are all False (reference quirk)."""
-    num = _num_roots(flat, hw).astype(jnp.float32)
-    total = jnp.sum(mask, dtype=jnp.int32).astype(jnp.float32)
-    return total / num  # 0/0 -> NaN
 
 
 MAX_COMP = 4096  # per-class component budget for the size-threshold stage
@@ -367,7 +362,10 @@ def _component_sums(mask, hw, max_n: int):
     return dict(
         sy=_sum_limbs(sy_hi, sy_lo),
         sx=_sum_limbs(sx_hi, sx_lo),
+        sy_hilo=(sy_hi, sy_lo),
+        sx_hilo=(sx_hi, sx_lo),
         n=_limbs(n, 2),
+        nraw=n,
         valid=valid,
         num=num,
         flat=flat,
@@ -381,8 +379,21 @@ def _metaphase_removal(img, hw):
     more than MIN_CHROM_COUNT chromosome centroids lie in EACH of the four
     BAND_V-px bands around its centroid (both reference clauses reduce to
     the conjunction of all four).  All band tests are exact integer
-    comparisons (see module docstring).  Returns (img, ok); ok is False
-    only on component-budget overflow."""
+    comparisons (see module docstring).  Returns (img, ok); ok is False on
+    component-budget overflow OR on a centroid near-tie: the host oracle
+    compares float64-ROUNDED centroids, so when the exact rational gap
+    |Sc/Nc - Sn/Nn (+-v)| falls within the oracle's rounding error the two
+    programs could disagree -- such pairs clear ``ok`` and the caller
+    recomputes on the host (the authority for parity).  The error bound:
+    the oracle's values are < 4096 and pass through at most two divisions
+    plus one addition (~3 ulps, < 2^-38 absolute), so a comparison can only
+    flip when the exact numerator satisfies |x| <= 2^-38 * Nn * Nc --
+    tested exactly as 2^38*|x| <= Nn*Nc in limb arithmetic.  Exact zeros
+    are consistent for the direct centroid compare (both sides round the
+    SAME rational), and for the +-v band edges whenever both centroids are
+    DYADIC rationals -- odd_part(N) divides S, e.g. any integer or .5
+    centroid -- because then every host float op (two divisions, one +70)
+    is exact; only the remaining zero hits flag."""
     c = _component_sums(img == 2, hw, MAX_CHROM)
     n = _component_sums(img == 1, hw, MAX_NUC)
     pair_ok = jnp.logical_and(c["valid"][None, :], n["valid"][:, None])
@@ -394,17 +405,62 @@ def _metaphase_removal(img, hw):
     def bn(x):  # broadcast a nucleus limb list
         return [a[:, None] for a in x]
 
+    p_cols = _prod_cols(bn(n["n"]), bc(c["n"]))  # Nn * Nc, column form
     # v * Nn * Nc columns, shared by both axes
-    q = [vv * v for vv in _prod_cols(bn(n["n"]), bc(c["n"]))]
+    q = [vv * v for vv in p_cols]
 
-    def band_counts(s_c, s_n):
+    def _dyadic(hilo, nraw):
+        """Per-component: is S/N (S = 64*hi + lo) a dyadic rational, i.e.
+        exactly representable in float64?  True iff odd_part(N) | S."""
+        hi, lo = hilo
+        m = jnp.where(nraw > 0, nraw // jnp.maximum(nraw & -nraw, 1), 1)
+        r = ((hi % m) * 64 + lo % m) % m
+        return jnp.logical_and(nraw > 0, r == 0)
+
+    safe_zero_x = jnp.logical_and(
+        _dyadic(n["sx_hilo"], n["nraw"])[:, None],
+        _dyadic(c["sx_hilo"], c["nraw"])[None, :],
+    )
+    safe_zero_y = jnp.logical_and(
+        _dyadic(n["sy_hilo"], n["nraw"])[:, None],
+        _dyadic(c["sy_hilo"], c["nraw"])[None, :],
+    )
+
+    def _canon_limbs_nonneg(cols, n_out):
+        """Carry-propagate mixed-sign columns of a NON-NEGATIVE total into
+        canonical limbs (floor shifts keep intermediate carries exact)."""
+        out, carry = [], jnp.zeros_like(cols[0])
+        for cc in cols:
+            cc = cc + carry
+            out.append(cc & _LMASK)
+            carry = cc >> _LB
+        while len(out) < n_out:
+            out.append(carry & _LMASK)
+            carry = carry >> _LB
+        return out
+
+    def _risky(x_cols, sign, safe_zero):
+        absx = _canon_limbs_nonneg([sign * cc for cc in x_cols], 6)
+        # 2^38 * |x|: 3 zero limbs (2^33) then * 32
+        shifted = [jnp.zeros_like(sign)] * 3 + [l * 32 for l in absx]
+        small = _canon_sign(_sub_cols(shifted, p_cols)) <= 0
+        r = jnp.logical_and(small, sign != 0)
+        if safe_zero is not None:  # edge terms: exact zeros flag unless
+            r = jnp.logical_or(    # both centroids are dyadic
+                r, jnp.logical_and(sign == 0, jnp.logical_not(safe_zero))
+            )
+        return r
+
+    def band_counts(s_c, s_n, safe_zero):
         # d0 = sign(Sc*Nn - Sn*Nc) = sign(centroid_c - centroid_n)
         p_cn = _prod_cols(bc(s_c), bn(n["n"]))
         p_nc = _prod_cols(bn(s_n), bc(c["n"]))
         d = _sub_cols(p_cn, p_nc)
         d0 = _canon_sign(d)
-        dm = _canon_sign(_sub_cols(d, q))  # sign(delta - v)
-        dp = _canon_sign(_add_cols(d, q))  # sign(delta + v)
+        dm_cols = _sub_cols(d, q)
+        dp_cols = _add_cols(d, q)
+        dm = _canon_sign(dm_cols)  # sign(delta - v)
+        dp = _canon_sign(dp_cols)  # sign(delta + v)
         pos = jnp.sum(
             jnp.logical_and(pair_ok, jnp.logical_and(d0 > 0, dm < 0)),
             axis=1, dtype=jnp.int32,
@@ -413,10 +469,19 @@ def _metaphase_removal(img, hw):
             jnp.logical_and(pair_ok, jnp.logical_and(d0 < 0, dp > 0)),
             axis=1, dtype=jnp.int32,
         )
-        return pos, neg
+        near = jnp.any(
+            jnp.logical_and(
+                pair_ok,
+                _risky(d, d0, None)
+                | _risky(dm_cols, dm, safe_zero)
+                | _risky(dp_cols, dp, safe_zero),
+            )
+        )
+        return pos, neg, near
 
-    left, right = band_counts(c["sx"], n["sx"])  # c_x in (n_x, n_x+v) / (n_x-v, n_x)
-    top, bottom = band_counts(c["sy"], n["sy"])  # c_y in (n_y, n_y+v) / (n_y-v, n_y)
+    # c_x in (n_x, n_x+v) / (n_x-v, n_x); same for y
+    left, right, near_x = band_counts(c["sx"], n["sx"], safe_zero_x)
+    top, bottom, near_y = band_counts(c["sy"], n["sy"], safe_zero_y)
 
     remove = (
         (left > MIN_CHROM_COUNT)
@@ -426,6 +491,7 @@ def _metaphase_removal(img, hw):
         & n["valid"]
     )
     ok = jnp.logical_and(c["num"] <= MAX_CHROM, n["num"] <= MAX_NUC)
+    ok = jnp.logical_and(ok, jnp.logical_not(jnp.logical_or(near_x, near_y)))
 
     lut = jnp.zeros(hw + 1, bool).at[
         jnp.where(remove, n["roots"], hw)

@@ -157,11 +157,21 @@ def resize_linear_matmul(image, output_shape: Tuple[int, int]):
     operators: out = Wy @ image @ Wx^T.  Matches the host :func:`resize`
     (order=1, mode='reflect'->ndi 'mirror', no anti-aliasing) including the
     border rows where jax.image.resize's clamping differs.  ``image`` is a
-    2-D (H, W) array; shapes must be static under jit."""
+    2-D (H, W) array; shapes must be static under jit.
+
+    Precision note: TPU's default f32 matmul runs in reduced (bf16-pass)
+    precision, and the fractional interpolation weights are not
+    bf16-representable -- without HIGHEST the device result drifts ~1e-3
+    from the host oracle and flips threshold-adjacent pixels downstream
+    (nuset_infer._cleanup_pass binarizes at an exact cutoff).  The CPU test
+    suite cannot catch this (CPU matmuls are always full f32), so the
+    override is load-bearing for the device/host byte-equality contract."""
     import jax.numpy as jnp
+    from jax import lax
 
     h_in, w_in = image.shape
     h_out, w_out = output_shape
     wy = jnp.asarray(_zoom_matrix(h_in, h_out), jnp.float32)
     wx = jnp.asarray(_zoom_matrix(w_in, w_out), jnp.float32)
-    return wy @ image.astype(jnp.float32) @ wx.T
+    out = lax.dot(wy, image.astype(jnp.float32), precision=lax.Precision.HIGHEST)
+    return lax.dot(out, wx.T, precision=lax.Precision.HIGHEST)

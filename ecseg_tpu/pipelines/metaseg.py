@@ -72,15 +72,26 @@ def _segment_post_jit(
     meta_inference -> ecDNA component count, one dispatch.  The stitch runs
     as a single Pallas copy-plan kernel (cc_pallas.stitch_labels_pallas)
     instead of the XLA stitcher's ~150 update-slice launches.  Returns
-    (raw_labels, final_labels, ok, num_ec); when ``ok`` is False (component
-    budget overflow in the device meta_inference, see ops/meta_post_tpu)
-    the caller redoes the post-processing on the host oracle from
-    ``raw_labels``."""
+    ``(raw_labels, blob)`` where ``blob`` is the packed uint8 result of
+    :func:`_post_blob` -- decode with :func:`_decode_post_blob` into
+    (ok, final_labels, num_ec); when ``ok`` is False (component budget
+    overflow in the device meta_inference, see ops/meta_post_tpu) the caller
+    redoes the post-processing on the host oracle from ``raw_labels``."""
     from ..ops.cc_pallas import stitch_labels_pallas
 
     label_patches = _patch_labels_fn(params, patches_u8, forward_fn, dtype)
     labels = stitch_labels_pallas(label_patches, positions)
     return labels, _post_blob(labels)
+
+
+@jax.jit
+def _post_blob_jit(labels):
+    """Module-scope jitted twin of :func:`_post_blob` for callers that
+    already hold the stitched label canvas (the sharded folder path).  Must
+    NOT be constructed per call: each fresh ``jax.jit`` wrapper owns its own
+    compile cache, and pipeline-sized programs compile in minutes on this
+    attachment."""
+    return _post_blob(labels)
 
 
 def _post_blob(labels):
@@ -316,7 +327,7 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     def _device_post(labels_dev):
         """meta_inference + ec count on device, fetched as one packed blob;
         host oracle on budget overflow (ops/meta_post_tpu contract)."""
-        blob = np.asarray(jax.jit(_post_blob)(labels_dev))
+        blob = np.asarray(_post_blob_jit(labels_dev))
         ok, I, num = _decode_post_blob(blob, labels_dev.shape[1])
         if ok:
             return I, num

@@ -83,6 +83,28 @@ def test_budget_overflow_lowers_ok():
     assert not bool(ok)
 
 
+def test_centroid_near_tie_flags_fallback():
+    """A chromosome whose NON-dyadic centroid sits exactly BAND_V from a
+    nucleus centroid can round differently through the host oracle's
+    float64 chain, so the device must clear ``ok`` (host recomputes).
+    L-shaped 3-px components give centroids with denominator 3."""
+    img = np.zeros((96, 128), np.int64)
+    img[10, 10] = img[11, 10] = img[10, 11] = 1  # nucleus, x mean 31/3
+    img[40, 80] = img[41, 80] = img[40, 81] = 2  # chrom, x mean 241/3
+    # exact gap: (241 - 31) / 3 == 70 == BAND_V, non-dyadic on both sides
+    out, ok = meta_inference_tpu(jnp.asarray(img))
+    assert not bool(ok)
+
+
+def test_dyadic_exact_band_edge_keeps_ok():
+    """The same exact-gap construction with INTEGER centroids is float64-
+    exact on the host, so it must NOT flag (the dyadic-safety test)."""
+    img = np.zeros((96, 128), np.int64)
+    img[10:13, 10:13] = 1  # nucleus, centroid (11, 11)
+    img[40:43, 80:83] = 2  # chrom, centroid (41, 81): x gap exactly 70
+    _check(img)
+
+
 def test_count_roots_matches_count_cc(rng):
     for density in (0.05, 0.2, 0.5):
         m = rng.random((90, 130)) < density

@@ -48,6 +48,24 @@ def test_bucket_dim_bounds_compile_count():
     assert nuset_infer._bucket_dim(16) == 128  # floor bucket
 
 
+def test_one_program_per_bucket(model, rng):
+    """The bucketing's entire value is ONE compile per bucket: valid_hw is a
+    traced scalar pair, not a static cache key, so distinct true geometries
+    in the same bucket must NOT add jit cache entries (r2 review finding:
+    static valid_hw silently re-specialized per geometry)."""
+    base = nuset_infer._mask_pass._cache_size()
+    for hw in [(96, 112), (80, 128), (112, 96), (48, 64)]:  # one bucket: 128x128
+        nuset_infer.nuset_forward(model, _norm_image(rng, *hw), pass_two=False)
+    assert nuset_infer._mask_pass._cache_size() <= base + 1
+
+    base2 = nuset_infer._mask_and_feat_pass._cache_size()
+    basep = nuset_infer._proposal_pass._cache_size()
+    for hw in [(96, 112), (80, 128)]:
+        nuset_infer.nuset_forward(model, _norm_image(rng, *hw), pass_two=True)
+    assert nuset_infer._mask_and_feat_pass._cache_size() <= base2 + 1
+    assert nuset_infer._proposal_pass._cache_size() <= basep + 1
+
+
 def test_aligned_size_skips_padding(model, rng):
     # /128-aligned inputs take the identical (valid_hw=None) program
     img = _norm_image(rng, 128, 256)
