@@ -54,6 +54,18 @@ def init_ecseg_i_params(key) -> Dict:
     return p
 
 
+def _dense_head(params, feat):
+    """Head matmul at full f32 precision: TPU's default bf16-pass MXU mode
+    can flip borderline argmax/0.5-sigmoid decisions vs the CPU/TF goldens
+    (same parity class as layers._precision_for)."""
+    from jax import lax
+
+    logits = lax.dot(
+        feat, params["head"]["kernel"], precision=lax.Precision.HIGHEST
+    )
+    return logits + params["head"]["bias"]
+
+
 def init_ecseg_c_params(key) -> Dict:
     kb, kh = jax.random.split(key)
     p = _init_backbone(kb, in_ch=3)
@@ -69,7 +81,7 @@ def ecseg_i_forward(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """(N, 256, 256) uint8 -> (N, 3) softmax."""
     x = x.astype(jnp.float32)[..., None] / 255.0
     feat = _backbone(params, x, 4)
-    logits = feat @ params["head"]["kernel"] + params["head"]["bias"]
+    logits = _dense_head(params, feat)
     return jax.nn.softmax(logits, axis=-1)
 
 
@@ -78,5 +90,5 @@ def ecseg_c_forward(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """(N, 256, 256, 3) preprocessed floats in [0,1] -> (N, 1) sigmoid."""
     x = x.astype(jnp.float32)
     feat = _backbone(params, x, 4)
-    logits = feat @ params["head"]["kernel"] + params["head"]["bias"]
+    logits = _dense_head(params, feat)
     return jax.nn.sigmoid(logits)

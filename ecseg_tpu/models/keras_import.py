@@ -425,6 +425,8 @@ def _depthwise_conv(x, kernel, stride: int, padding: str):
     g * mult + m matches Keras."""
     from jax import lax
 
+    from .layers import _precision_for
+
     h, w, in_ch, mult = kernel.shape
     rhs = kernel.reshape(h, w, 1, in_ch * mult)
     return lax.conv_general_dilated(
@@ -434,6 +436,7 @@ def _depthwise_conv(x, kernel, stride: int, padding: str):
         padding.upper(),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=in_ch,
+        precision=_precision_for(x),
     )
 
 
@@ -609,7 +612,13 @@ def _make_layer_fn(lc, name, fetcher, params):
             params[name]["bias"] = jnp.asarray(w[1])
 
         def dense_fn(p, xs, _name=name, _act=act, _ub=use_bias):
-            y = xs[0] @ p[_name]["kernel"]
+            from jax import lax
+
+            from .layers import _precision_for
+
+            y = lax.dot(
+                xs[0], p[_name]["kernel"], precision=_precision_for(xs[0])
+            )
             if _ub:
                 y = y + p[_name]["bias"]
             return _act(y)

@@ -67,9 +67,16 @@ def edt_sq_tpu(mask: jnp.ndarray) -> jnp.ndarray:
     int32 bounds: valid squared distances are < H^2 + W^2 (~2.1e6 for
     1024^2 images); the no-zero-in-column / no-zero-at-all sentinel is
     2^30, kept clear of overflow (the min-plus add is sentinel + off^2 with
-    off^2 <= max(d2) <= 2^30, within int32 range)."""
+    off^2 <= max(d2) <= 2^30, within int32 range).  The scheme therefore
+    requires H^2 + W^2 < 2^30 (each side < ~23170 px) -- beyond that a
+    valid distance would collide with the sentinel and sentinel + off^2
+    would overflow int32; asserted below rather than silently corrupting."""
     mask = mask.astype(bool)
     H, W = mask.shape
+    if H * H + W * W >= 1 << 30:  # static shapes: a plain python check
+        raise ValueError(
+            f"edt_sq_tpu int32 scheme supports H^2+W^2 < 2^30; got {H}x{W}"
+        )
     sent = jnp.int32(1 << 30)
     g = _column_pass(mask)
     g2 = jnp.where(g > (1 << 19), sent, g * g)  # column-without-zero sentinel

@@ -108,6 +108,12 @@ def conv2d_same_tf_jax(x, kernel):
         window_strides=(1, 1),
         padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # TPU default f32 conv runs in reduced bf16-pass MXU precision
+        # (~0.3 absolute error on O(100) coefficients) -- enough to flip
+        # `coeffs > normal_threshold` pixels vs the host oracle.  HIGHEST
+        # is load-bearing for device/host parity, same class as the
+        # resize_linear_matmul precision pin.
+        precision=lax.Precision.HIGHEST,
     )[..., 0]
     return y[0] if squeeze_batch else y
 

@@ -139,15 +139,36 @@ def clean_image_tpu(mask: jnp.ndarray) -> jnp.ndarray:
     flat_idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     num = jnp.sum(jnp.logical_and(lab >= 0, lab == flat_idx), dtype=jnp.int32)
     total = jnp.sum(mask, dtype=jnp.int32)
-    mean_area = jnp.where(num > 0, total / jnp.maximum(num, 1), 0.0)
 
-    # remove_small_objects(min_size=mean/5): keep sizes >= mean/5 (the host
-    # twin short-circuits when min_size <= 1, which the >= test reproduces)
+    # The thresholds are evaluated EXACTLY in int32 (quotient/remainder of
+    # total by 5*num) rather than in f32: jax x64 is off, and f32's ~2^-23
+    # relative error on mean_area/5 can flip threshold-adjacent component
+    # sizes vs the host's float64 chain.  The integer forms below are
+    # provably equivalent to the host comparisons INCLUDING exact ties
+    # (a tie makes the host's divisions exact, so both sides agree):
+    #   keep  object:  size >= total/(5*num)   <=>  size > k or (== k, r == 0)
+    #   fill  hole:    size <  total/(5*num)+1 <=>  size-1 < k or (== k, r > 0)
+    # where total = k*(5*num) + r.  num == 0 degenerates to keep-all/fill-none,
+    # matching the host short-circuits.
+    d = jnp.maximum(5 * num, 1)
+    k = total // d
+    r = total % d
+
     _, size_map, _ = _component_size_mask(mask, 2)
-    kept = jnp.logical_and(mask, size_map >= mean_area / 5.0)
+    kept = jnp.logical_and(
+        mask,
+        jnp.logical_or(
+            size_map > k, jnp.logical_and(size_map == k, r == 0)
+        ),
+    )
     # remove_small_holes(area_threshold=mean/5): fill bg comps with
     # size < mean/5 + 1, border-touching included (skimage semantics)
     bg = jnp.logical_not(kept)
     _, bg_size, _ = _component_size_mask(bg, 2)
-    holes = jnp.logical_and(bg, bg_size < mean_area / 5.0 + 1)
+    holes = jnp.logical_and(
+        bg,
+        jnp.logical_or(
+            bg_size - 1 < k, jnp.logical_and(bg_size - 1 == k, r > 0)
+        ),
+    )
     return jnp.logical_or(kept, holes).astype(jnp.uint8)

@@ -49,16 +49,25 @@ def count_cc_pair_tpu(mask):
     )
 
 
+def _coloc_from_labels(flat, roots, all_fg, b):
+    """Colocalization count from a precomputed labeling (lets one labeling
+    serve several b-masks -- label_pallas is a Pallas custom call XLA cannot
+    CSE, so repeated labelings of the same mask are real repeated work)."""
+    hw = flat.shape[0]
+    marks = jnp.zeros(hw + 1, bool).at[
+        jnp.where(b.reshape(-1), flat, hw)
+    ].set(True)
+    n = jnp.sum(jnp.logical_and(roots, marks[:hw]), dtype=jnp.int32)
+    return jnp.where(all_fg, 0, n)
+
+
 def count_colocalization_tpu(a, b):
     """#components of ``a`` containing >= 1 pixel of ``b`` (device twin of
-    ops.meta_post.count_colocalization)."""
-    h, w = a.shape
+    ops.meta_post.count_colocalization, incl. the ``unique(labels)[1:]``
+    quirk: an all-foreground ``a`` has no background label, so the [1:]
+    drops its single component and the host returns 0)."""
     flat, roots = _label_and_roots(a)
-    # scatter: mark the root index of every a-component that b touches
-    marks = jnp.zeros(h * w + 1, bool).at[
-        jnp.where(b.reshape(-1), flat, h * w)
-    ].set(True)
-    return jnp.sum(jnp.logical_and(roots, marks[: h * w]), dtype=jnp.int32)
+    return _coloc_from_labels(flat, roots, jnp.all(a.astype(bool)), b)
 
 
 def count_HSR_tpu(chrom, fish, hsr_size_threshold):
@@ -86,16 +95,32 @@ def overlay_stats_tpu(red, green, nuclei, chrom, ec, hsr_size_threshold=20):
     ec = ec.astype(bool)
     chrom = chrom.astype(bool)
 
+    # one labeling per distinct `a` mask, shared across every statistic
+    # that labels it (ec serves 4, chrom and fish_nc 2 each)
+    ec_l = (*_label_and_roots(ec), jnp.all(ec))
+    fish_nc_l = (*_label_and_roots(fish_nc), jnp.all(fish_nc))
+    chrom_l = (*_label_and_roots(chrom), jnp.all(chrom))
+    fish2_nc_flat, fish2_nc_roots = _label_and_roots(fish2_nc)
+
+    def px(mask):
+        return jnp.sum(mask.astype(jnp.int32), dtype=jnp.int32)
+
+    def hsr(fish_ch):
+        big = remove_small_objects_tpu(
+            fish_ch, hsr_size_threshold, connectivity=1
+        )
+        return _coloc_from_labels(*chrom_l, big)
+
     return {
-        "num_ecDNA": count_cc_pair_tpu(ec),
-        "num_FISH": count_cc_pair_tpu(fish_nc),
-        "num_ecDNA_FISH": count_colocalization_tpu(ec, fish),
-        "num_HSR": count_HSR_tpu(chrom, fish, hsr_size_threshold),
-        "num_FISH2": count_cc_pair_tpu(fish2_nc),
-        "num_FISH_FISH2": count_colocalization_tpu(fish_nc, fish2_nc),
-        "num_ecDNA_FISH2": count_colocalization_tpu(ec, fish2),
-        "num_ecDNA_FISH_FISH2": count_colocalization_tpu(
-            ec, jnp.logical_and(fish2, fish)
+        "num_ecDNA": (jnp.sum(ec_l[1], dtype=jnp.int32), px(ec)),
+        "num_FISH": (jnp.sum(fish_nc_l[1], dtype=jnp.int32), px(fish_nc)),
+        "num_ecDNA_FISH": _coloc_from_labels(*ec_l, fish),
+        "num_HSR": hsr(fish),
+        "num_FISH2": (jnp.sum(fish2_nc_roots, dtype=jnp.int32), px(fish2_nc)),
+        "num_FISH_FISH2": _coloc_from_labels(*fish_nc_l, fish2_nc),
+        "num_ecDNA_FISH2": _coloc_from_labels(*ec_l, fish2),
+        "num_ecDNA_FISH_FISH2": _coloc_from_labels(
+            *ec_l, jnp.logical_and(fish2, fish)
         ),
-        "num_HSR2": count_HSR_tpu(chrom, fish2, hsr_size_threshold),
+        "num_HSR2": hsr(fish2),
     }

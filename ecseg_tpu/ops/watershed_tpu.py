@@ -35,17 +35,8 @@ from jax import lax
 _BIG = 3.4e38
 
 
-def _shift(x, dy, dx, fill):
-    out = jnp.roll(x, (dy, dx), (0, 1))
-    if dy > 0:
-        out = out.at[:dy, :].set(fill)
-    elif dy < 0:
-        out = out.at[dy:, :].set(fill)
-    if dx > 0:
-        out = out.at[:, :dx].set(fill)
-    elif dx < 0:
-        out = out.at[:, dx:].set(fill)
-    return out
+# single edge-fill shift implementation shared with the morphology kernels
+from .morphology_tpu import _shift2d as _shift
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))

@@ -67,7 +67,7 @@ def main(argv=None) -> int:
     optimizer = optax.adam(args.lr)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     step_fn, p_shard, b_shard, optimizer = jit_train_step_on_mesh(
-        mesh, optimizer, params_example=params, dtype=dtype
+        mesh, optimizer, params_example=params, dtype=dtype, remat=args.remat
     )
     params = jax.device_put(params, p_shard)
     opt_state = optimizer.init(params)
@@ -75,10 +75,13 @@ def main(argv=None) -> int:
     for step, (x, y) in enumerate(
         crop_batches(pairs, args.batch, args.steps, seed=args.seed)
     ):
-        x, _ = pad_to_multiple(x, n_dev)
+        x, n = pad_to_multiple(x, n_dev)
         y, _ = pad_to_multiple(y, n_dev)
+        # mask the all-zero pad samples out of the loss/gradients
+        valid = np.arange(len(x)) < n
         params, opt_state, loss = step_fn(
-            params, opt_state, jnp.asarray(x), jnp.asarray(y)
+            params, opt_state, jnp.asarray(x), jnp.asarray(y),
+            jnp.asarray(valid),
         )
         if step % 10 == 0 or step == args.steps - 1:
             print(f"step {step:5d}  loss {float(loss):.4f}")

@@ -80,6 +80,22 @@ def test_colocalization_tpu_edge_cases(rng):
     assert count_colocalization(a, b) == 1
 
 
+def test_colocalization_all_foreground_quirk(rng):
+    """The host's unique(labels)[1:] drops the single component of an
+    all-foreground mask (no background label 0), returning 0; the device
+    twin must replicate that (r2 review finding)."""
+    a = np.ones((32, 48), bool)
+    b = np.zeros((32, 48), bool)
+    b[10, 10] = True
+    assert count_colocalization(a, b) == 0  # the host quirk, pinned
+    assert int(count_colocalization_tpu(jnp.asarray(a), jnp.asarray(b))) == 0
+    # and through the fused program's HSR path (same [1:] in count_HSR)
+    big = np.zeros((32, 48), bool)
+    big[5:15, 5:15] = True
+    assert count_HSR(a, big, 20) == 0
+    assert int(count_HSR_tpu(jnp.asarray(a), jnp.asarray(big), 20)) == 0
+
+
 def test_hsr_tpu_size_filter(rng):
     chrom = np.zeros((40, 40), bool)
     chrom[5:20, 5:20] = True
