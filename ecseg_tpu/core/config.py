@@ -69,7 +69,12 @@ class IntersegConfig:
     def __post_init__(self):
         color = self.FISH_color.lower()
         if color not in ("green", "red"):
-            raise ConfigError('FISH_color can only be "green" or "red"')
+            # full reference wording (interseg.py:60): this is what the
+            # pipeline's except-handler prints, so it must carry the guidance
+            raise ConfigError(
+                'FISH_color can only be "green" or "red". '
+                "Please update the config.yaml file accordingly."
+            )
 
     @property
     def fish_index(self) -> int:
@@ -173,6 +178,10 @@ class StatFishParams:
     gaussian_sigma: float = 3
     kernel_size: tuple = (7, 7)
     target_median_nuclei_size: float = 2500
+    # source file these params were loaded from (None = built-in defaults);
+    # stat_fish copies THIS file into the output for provenance, so the
+    # recorded yaml always matches the values actually used
+    path: Optional[str] = None
 
     @classmethod
     def from_mapping(cls, m: Mapping[str, Any]) -> "StatFishParams":
@@ -207,4 +216,5 @@ def load_stat_fish_params(path: Optional[str] = None) -> StatFishParams:
         return StatFishParams()
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
-    return StatFishParams.from_mapping(raw)
+    p = StatFishParams.from_mapping(raw)
+    return dataclasses.replace(p, path=os.path.abspath(path))

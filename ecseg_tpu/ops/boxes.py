@@ -90,16 +90,20 @@ def encode(bboxes, gt_boxes, variances=None):
     return jnp.stack([dx, dy, dw, dh], axis=1)
 
 
-def decode(roi, deltas):
-    """reference bbox_transform_tf.py:41-66 (incl. the -1 on x2/y2)."""
+def decode(roi, deltas, variances=None):
+    """reference bbox_transform_tf.py:41-66 (incl. the -1 on x2/y2).
+    ``variances`` mirror :func:`encode`'s so the pair stays a round-trip
+    inverse for non-default values (the inference path uses [1, 1])."""
     roi = jnp.asarray(roi, jnp.float32)
     deltas = jnp.asarray(deltas, jnp.float32)
+    if variances is None:
+        variances = [1.0, 1.0]
     w, h, urx, ury = _width_upright(roi)
     dx, dy, dw, dh = deltas[:, 0], deltas[:, 1], deltas[:, 2], deltas[:, 3]
-    pur_x = dx * w + urx
-    pur_y = dy * h + ury
-    pw = jnp.exp(dw) * w
-    ph = jnp.exp(dh) * h
+    pur_x = dx * variances[0] * w + urx
+    pur_y = dy * variances[0] * h + ury
+    pw = jnp.exp(dw * variances[1]) * w
+    ph = jnp.exp(dh * variances[1]) * h
     x1 = pur_x - 0.5 * pw
     y1 = pur_y - 0.5 * ph
     x2 = pur_x + 0.5 * pw - 1.0

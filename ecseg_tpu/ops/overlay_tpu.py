@@ -61,6 +61,19 @@ def _coloc_from_labels(flat, roots, all_fg, b):
     return jnp.where(all_fg, 0, n)
 
 
+def cc_pair_host_quirk(pair, hw: int):
+    """Apply count_cc's ``unique(labels)[1:]`` quirk to a device (num, fg)
+    pair: an empty or all-foreground mask sums sizes over an empty list, so
+    the second element is the float ``0.0`` (np.sum([])) -- string-visible
+    in the fish_quantification.csv tuple cells (see ops/cc.count_cc).  Kept
+    here, next to the device kernel that produces the pair, so the host and
+    device CSV contracts cannot drift independently."""
+    num, fg = pair
+    if fg == 0 or fg == hw:
+        return num, 0.0
+    return num, fg
+
+
 def count_colocalization_tpu(a, b):
     """#components of ``a`` containing >= 1 pixel of ``b`` (device twin of
     ops.meta_post.count_colocalization, incl. the ``unique(labels)[1:]``

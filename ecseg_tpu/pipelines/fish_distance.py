@@ -60,14 +60,17 @@ def iter_cell_masks(
     segmentation: np.ndarray,
 ) -> Iterator[Tuple[int, Tuple[slice, slice]]]:
     """Yield (label, bounding slice) for every nonzero label, ascending --
-    the same visit order as skimage regionprops."""
-    labels = np.unique(segmentation)
-    for lab in labels[labels > 0]:
-        ys, xs = np.nonzero(segmentation == lab)
-        yield int(lab), (
-            slice(int(ys.min()), int(ys.max()) + 1),
-            slice(int(xs.min()), int(xs.max()) + 1),
-        )
+    the same visit order as skimage regionprops.  One find_objects pass
+    instead of a full-image ``nonzero(seg == lab)`` per label (O(H*W) vs
+    O(labels * H*W); image-sized nonzero is ~300x a reduction on this
+    host, see ops/cc.py)."""
+    from scipy import ndimage as ndi
+
+    if not np.issubdtype(segmentation.dtype, np.integer):
+        segmentation = segmentation.astype(np.int64)
+    for lab, sl in enumerate(ndi.find_objects(segmentation), start=1):
+        if sl is not None:
+            yield lab, sl
 
 
 def image_distances(

@@ -140,11 +140,9 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     if not os.path.isdir(inpath):
         print("Input folder does not exist. Exiting...")
         return 2
-    if fish_color not in ("green", "red"):
-        print('FISH_color can only be "green" or "red". Please update the config.yaml file accordingly.')
-        return 2
-
-    fish_index = 1 if fish_color == "green" else 0
+    # FISH_color validation (reference interseg.py:59-61) happens in
+    # IntersegConfig.__post_init__, caught above with the reference wording
+    fish_index = var.fish_index
 
     os.makedirs(os.path.join(inpath, "annotated"), exist_ok=True)
 
@@ -244,10 +242,16 @@ def main(argv=None, config: Optional[Config] = None) -> int:
 
         for region in regions:
             entry_center = [region.centroid]
-            mask = segmented_cells == region.label
-            temp = I * np.expand_dims(mask, -1)
+            # everything read downstream lives inside the region's tight
+            # bbox (the mask is zero elsewhere), so crop FIRST: the
+            # reference's full-image `I * mask` (interseg.py:131-132) costs
+            # O(regions * 3*H*W) host work and fresh image-sized pages,
+            # which this VM populates at 10-25 MB/s (CLAUDE.md).  The gate
+            # value and the patches are bit-identical.
+            inside = region._mask
+            temp = I[region.slice] * np.expand_dims(inside, -1)
 
-            if np.sum(temp[..., 0]) / np.sum(mask) < 12.75:
+            if np.sum(temp[..., 0]) / np.sum(inside) < 12.75:
                 add_row(("skip", "No_Prediction (Low_TRGT_brightness)"))
                 continue
 
@@ -255,15 +259,13 @@ def main(argv=None, config: Optional[Config] = None) -> int:
             h = bb[2] - bb[0]
             w = bb[3] - bb[1]
             if h <= 256 and w <= 256:
-                nuclei = temp[
-                    bb[0] : bb[0] + min(256, h), bb[1] : bb[1] + min(256, w)
-                ]
+                nuclei = temp[: min(256, h), : min(256, w)]
                 patches.append(
                     resize(nuclei, (256, 256), preserve_range=True).astype("uint8")
                 )
                 add_row(("patch", len(patches) - 1))
             else:
-                nuclei = temp[bb[0] : bb[0] + h, bb[1] : bb[1] + w]
+                nuclei = temp
                 for p in im2patches_grid(nuclei):
                     if not p.any():
                         add_row(("skip", "No_Prediction (Segmentation_Empty)"))

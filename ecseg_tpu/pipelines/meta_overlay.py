@@ -120,7 +120,7 @@ def main(argv=None, config: Optional[Config] = None) -> int:
             import jax
             import jax.numpy as jnp
 
-            from ..ops.overlay_tpu import overlay_stats_tpu
+            from ..ops.overlay_tpu import cc_pair_host_quirk, overlay_stats_tpu
 
             stats = jax.tree.map(
                 int,
@@ -137,13 +137,7 @@ def main(argv=None, config: Optional[Config] = None) -> int:
             )
 
             def _cc_pair(pair, hw=nuclei.shape[0] * nuclei.shape[1]):
-                # reference count_cc sums over unique(labels)[1:]: an empty
-                # or all-foreground mask yields the float 0.0 (np.sum([])),
-                # string-visible in the CSV tuple cells (see ops/cc.count_cc)
-                num, fg = pair
-                if fg == 0 or fg == hw:
-                    return num, 0.0
-                return num, fg
+                return cc_pair_host_quirk(pair, hw)
 
             num_ecDNA = _cc_pair(stats["num_ecDNA"])
             num_FISH = _cc_pair(stats["num_FISH"])

@@ -97,7 +97,11 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             config.path,
             os.path.join(inpath, output_folder, f"config_{git_commit}.yaml"),
         )
-    params_src = os.path.join(os.path.dirname(__file__), "..", "stat_fish_params.yaml")
+    # provenance: copy the params file actually used for this run (custom
+    # `params=` objects without a source file fall back to the default yaml)
+    from ..core.config import _default_params_path
+
+    params_src = getattr(params, "path", None) or _default_params_path()
     if os.path.exists(params_src):
         shutil.copyfile(
             params_src, os.path.join(inpath, output_folder, "stat_fish_params.yaml")
@@ -278,20 +282,27 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             f"{annotated_path}/{img_name}__segmentation_min_cut.npy",
             labeled_segmented_cells,
         )
-        assert imgio.imwrite(
+        # write first, THEN check: the reference wraps these in bare asserts
+        # (stat_fish.py:303-308), which `python -O` strips together with the
+        # write side effect -- the run would exit 0 with no tifs
+        def _must_write(path, arr):
+            if not imgio.imwrite(path, arr):
+                raise IOError(f"failed to write {path}")
+
+        _must_write(
             f"{annotated_path}/{img_name}_segmentation.tif", segmented_cells_copy
         )
         if var.use_min_cut:
-            assert imgio.imwrite(
+            _must_write(
                 f"{annotated_path}/{img_name}_segmentation_corrected_min_cut.tif",
                 min_cut_vis,
             )
-        assert imgio.imwrite(
+        _must_write(
             f"{annotated_path}/{img_name}_original_with_segmentation.tif",
             img_with_seg,
         )
-        assert imgio.imwrite(f"{annotated_path}/{img_name}_original.tif", I)
-        assert imgio.imwrite(lsq_path, blob_labeled)
+        _must_write(f"{annotated_path}/{img_name}_original.tif", I)
+        _must_write(lsq_path, blob_labeled)
         return df
 
     import concurrent.futures as cf
