@@ -101,12 +101,11 @@ def build(arch: str = "default", full: bool = False):
 
     def tile_fn(params, patches):  # (25, 256, 256, 1) uint8 -> ec count
         probs = metaseg_unet.forward(params, patches, dtype=jnp.bfloat16)
-        # uint8 quantization + argmax (commutes with the stitch copies, see
-        # tiling.stitch_argmax_jax); the stitch itself runs INSIDE the CC
-        # kernel (same copy plan, in VMEM) -- the XLA stitcher's ~150 small
-        # update-slice launches per tile were pure launch overhead
-        u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
-        labels = jnp.argmax(u8, axis=-1).astype(jnp.int32)
+        # exact uint8 quantization + argmax (commutes with the stitch
+        # copies, see tiling.stitch_argmax_jax); the stitch itself runs
+        # INSIDE the CC kernel (same copy plan, in VMEM) -- the XLA
+        # stitcher's ~150 small update-slice launches were launch overhead
+        labels = jnp.argmax(tiling.quantize_u8_jax(probs), -1).astype(jnp.int32)
         num_ec, _ = count_cc_from_patches(labels, positions, class_id=3)
         return num_ec
 
@@ -121,8 +120,7 @@ def build(arch: str = "default", full: bool = False):
         )
 
         probs = metaseg_unet.forward(params, patches, dtype=jnp.bfloat16)
-        u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
-        labels = jnp.argmax(u8, axis=-1).astype(jnp.int32)
+        labels = jnp.argmax(tiling.quantize_u8_jax(probs), -1).astype(jnp.int32)
         canvas = stitch_labels_pallas(labels, positions)
         out, _ok = meta_inference_tpu(canvas)
         return count_roots_tpu(out == 3)
@@ -234,7 +232,11 @@ def main():
     tune_host_allocator()
     import jax
 
-    n_chips = max(1, len([d for d in jax.devices() if d.platform != "cpu"]) or 1)
+    # the jitted program runs on ONE device (chunks are committed to the
+    # default device, unsharded), so per-chip throughput divides by 1 --
+    # dividing by len(jax.devices()) would understate tiles/s/chip by the
+    # host's chip count on any multi-chip attachment
+    n_chips = 1
     arch = "xl" if "--arch" in sys.argv and "xl" in sys.argv else "default"
 
     per_chip = measure(arch) / n_chips

@@ -114,8 +114,6 @@ def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
     """(N, H, W, C) patches -> (N, H, W, num_classes) softmax probabilities."""
     levels = num_levels(params)
     x = x.astype(dtype)
-    if x.dtype != jnp.bfloat16 and dtype == jnp.bfloat16:
-        x = x.astype(jnp.bfloat16)
     x = x / jnp.asarray(255.0, dtype)
 
     skips = []

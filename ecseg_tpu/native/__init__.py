@@ -21,6 +21,9 @@ _SO = os.path.join(_HERE, "libecseg_native.so")
 _SRC = os.path.join(_HERE, "cc_maxflow.cpp")
 
 _lib = None
+_load_failed = False  # negative cache: never retry a failed build/dlopen
+# per call (stat_fish's min-cut calls this once per recursive split; each
+# doomed retry would spawn a multi-second g++ subprocess)
 
 
 def _build() -> bool:
@@ -31,22 +34,33 @@ def _build() -> bool:
             capture_output=True,
         )
         return True
+    except subprocess.CalledProcessError as e:
+        import sys
+
+        print(
+            "ecseg native build failed (python fallbacks stay active):\n"
+            + e.stderr.decode(errors="replace")[-2000:],
+            file=sys.stderr,
+        )
+        return False
     except Exception:
         return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
-    if os.environ.get("ECSEG_NO_NATIVE"):
+    if _load_failed or os.environ.get("ECSEG_NO_NATIVE"):
         return None
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         if not _build():
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
+        _load_failed = True
         return None
 
     lib.cc_label.restype = ctypes.c_int64

@@ -13,6 +13,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstdlib>  // std::abs(long long) -- do not rely on transitive includes
 #include <cstring>
 #include <queue>
 #include <vector>

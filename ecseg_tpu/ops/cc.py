@@ -39,27 +39,42 @@ def label(
         connectivity = image.ndim
     structure = ndi.generate_binary_structure(image.ndim, connectivity)
     if background != 0:
-        image = image != background
+        # skimage semantics: `background` pixels are background, every OTHER
+        # value (including 0) is a regular foreground value, still labeled
+        # value-aware.  Shift to make background 0 while keeping distinct
+        # values distinct and nonzero; collapsing with `!= background` would
+        # wrongly merge adjacent distinct-valued components.
+        image = np.where(
+            image == background, 0, image.astype(np.int64) - int(image.min()) + 1
+        )
     # skimage labels *any* nonzero region; for multi-valued inputs it labels
     # each distinct value's components separately.  All reference call sites
     # pass binary or effectively-binary inputs except merge_comp
     # (image_tools.py:26), which labels a multi-class image with scipy
     # directly -- scipy treats any nonzero as foreground, so we match scipy
     # here and expose skimage's value-aware variant as label_multivalue.
-    labels, num = ndi.label(image != 0, structure=structure)
+    # The multivalue check runs FIRST so the common binary case pays one
+    # labeling and no full-image unique sort.
     if _needs_multivalue(image):
         labels, num = _label_multivalue(image, structure)
+    else:
+        labels, num = ndi.label(image != 0, structure=structure)
     if return_num:
         return labels, num
     return labels
 
 
 def _needs_multivalue(image: np.ndarray) -> bool:
-    if image.dtype == bool:
+    """>= 2 distinct nonzero values?  Comparison passes only -- np.unique is
+    a full-image sort, too slow for hot host calls (CLAUDE.md)."""
+    if image.dtype == bool or image.size == 0:
         return False
-    vals = np.unique(image)
-    vals = vals[vals != 0]
-    return vals.size > 1
+    mx = image.max()
+    if image.min() < 0:
+        return True  # negative values: rare; take the general path
+    if mx == 0:
+        return False
+    return bool(np.any(np.logical_and(image != 0, image != mx)))
 
 
 def _label_multivalue(image: np.ndarray, structure: np.ndarray):
@@ -121,16 +136,20 @@ class Region:
         # np.nonzero + mean: coordinate sums stay far below 2^53, so the
         # float64 division equals skimage's mean-of-coordinates bit-for-bit,
         # and this host's numpy runs nonzero ~300x slower than reductions.
+        # The slice offset is folded into the INTEGER sum before the one
+        # division: fl(ysum/n) + start double-rounds and can differ from
+        # skimage's fl((ysum + n*start)/n) by 1 ulp (counterexample:
+        # n=2519, ysum=4584346, start=3976).
         m = self._mask
         sy, sx = self.slice
-        n = m.sum(dtype=np.int64)
+        n = int(m.sum(dtype=np.int64))
         row_counts = m.sum(axis=1, dtype=np.int64)
         col_counts = m.sum(axis=0, dtype=np.int64)
         ysum = int((row_counts * np.arange(m.shape[0], dtype=np.int64)).sum())
         xsum = int((col_counts * np.arange(m.shape[1], dtype=np.int64)).sum())
         return (
-            np.float64(ysum / n + sy.start),
-            np.float64(xsum / n + sx.start),
+            np.float64((ysum + n * sy.start) / n),
+            np.float64((xsum + n * sx.start) / n),
         )
 
     @property

@@ -226,9 +226,44 @@ def stitch_argmax_jax(
     """
     import jax.numpy as jnp
 
-    u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
-    labels = jnp.argmax(u8, axis=-1).astype(jnp.int32)[..., None]
+    labels = jnp.argmax(quantize_u8_jax(probs), axis=-1).astype(jnp.int32)[
+        ..., None
+    ]
     return stitch_patches_jax(labels, positions, overlap_value, scw)[..., 0]
+
+
+def quantize_u8_jax(probs):
+    """EXACT device twin of :func:`img_as_ubyte_float` for f32 inputs:
+    round-half-even(255 * p) of the EXACT product, as the host computes via
+    float64 (a float32 p widens losslessly and 255 * p fits 32 < 53 bits).
+
+    A single f32 multiply is not enough: fl32(255p) rounds the product
+    first, and for 128 f32 values in [0, 1] that rounding crosses a
+    half-integer so the final rint flips by 1 vs the host (e.g.
+    p = 0.0019607844296842813f: fl32 product is exactly 0.5 -> byte 0,
+    float64 product 0.50000000294 -> byte 1).  jax x64 is off on this
+    attachment, so the exact product is carried as a double-single pair:
+    a Veltkamp 12-bit split of p makes both partial 255-products exact,
+    Fast2Sum recovers the residual, and the residual's sign corrects the
+    boundary cases.  XLA does not reassociate f32 arithmetic, so the
+    error-free transformations survive compilation.  Shared by every
+    quantize site (this stitcher, pipelines/metaseg, bench.py) so the
+    byte contract cannot drift."""
+    import jax.numpy as jnp
+
+    p = probs.astype(jnp.float32)
+    c = p * 4097.0  # 2^12 + 1: Veltkamp split constant
+    p_hi = c - (c - p)
+    p_lo = p - p_hi
+    a = p_hi * 255.0  # exact: 12 + 8 significant bits <= 24
+    b = p_lo * 255.0  # exact
+    s = a + b  # fl32(255p), the only rounding
+    resid = b - (s - a)  # Fast2Sum: 255p == s + resid exactly
+    q = jnp.round(s)  # round-half-even
+    diff = s - q  # exact (Sterbenz)
+    q = jnp.where(jnp.logical_and(diff == 0.5, resid > 0), q + 1.0, q)
+    q = jnp.where(jnp.logical_and(diff == -0.5, resid < 0), q - 1.0, q)
+    return jnp.clip(q, 0, 255).astype(jnp.uint8)
 
 
 def stitch_labels_host(

@@ -163,8 +163,7 @@ def _patch_labels_fn(params, patches_u8, forward_fn, dtype):
     see stitch_argmax_jax).  uint8 keeps the sharded path's device->host
     label traffic 4x smaller."""
     probs = forward_fn(params, patches_u8, dtype)
-    u8 = jnp.clip(jnp.round(probs * 255.0), 0, 255).astype(jnp.uint8)
-    return jnp.argmax(u8, axis=-1).astype(jnp.uint8)
+    return jnp.argmax(tiling.quantize_u8_jax(probs), axis=-1).astype(jnp.uint8)
 
 
 def segment_folder_sharded(

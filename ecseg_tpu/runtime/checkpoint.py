@@ -40,7 +40,10 @@ def save_checkpoint(ckpt_dir: str, step: int, params: Any, opt_state: Any) -> st
     if ocp is not None:
         path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, state)
+        # force=True overwrites an existing step dir -- re-reaching a saved
+        # step after a resume must not crash the run (the npz fallback below
+        # already overwrites via os.replace; keep the two backends aligned)
+        ckptr.save(path, state, force=True)
         return path
     # npz fallback: write tmp then rename (same atomicity contract)
     from ..models.keras_import import save_npz_pytree

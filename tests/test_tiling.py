@@ -73,3 +73,30 @@ def test_img_as_ubyte_float():
     x = np.array([0.0, 0.5, 1.0, 0.999, 0.001])
     out = tiling.img_as_ubyte_float(x)
     np.testing.assert_array_equal(out, [0, 128, 255, 255, 0])
+
+
+def test_quantize_u8_jax_exact_at_boundaries(rng):
+    """quantize_u8_jax must equal the host rint(float64(p)*255) for EVERY
+    f32 input -- a plain f32 multiply mis-rounds 128 boundary values (r2
+    review finding, counterexample p=0.0019607844296842813)."""
+    import jax.numpy as jnp
+
+    from ecseg_tpu.ops.tiling import img_as_ubyte_float, quantize_u8_jax
+
+    vals = [np.float32(0.0019607844296842813)]
+    # a ladder of f32 neighbors around every half-integer boundary
+    for k in range(255):
+        t = np.float32((k + 0.5) / 255.0)
+        for _ in range(6):
+            vals.append(t)
+            t = np.nextafter(t, np.float32(0), dtype=np.float32)
+        t = np.float32((k + 0.5) / 255.0)
+        for _ in range(6):
+            t = np.nextafter(t, np.float32(1e9), dtype=np.float32)
+            vals.append(t)
+    vals.extend(rng.random(4096).astype(np.float32))
+    vals.extend([np.float32(0), np.float32(1), np.float32(0.5)])
+    p = np.asarray(vals, np.float32)
+    want = img_as_ubyte_float(p)
+    got = np.asarray(quantize_u8_jax(jnp.asarray(p)))
+    np.testing.assert_array_equal(got, want)
