@@ -100,5 +100,11 @@ def save_label_png(path: str, labels: np.ndarray) -> None:
 
 def save_gray_inverted(path: str, img: np.ndarray) -> None:
     """Write ``cv2.bitwise_not(img)`` as grayscale (reference src/utils.py:112,
-    src/image_tools.py:143-144)."""
-    cv2.imwrite(path, 255 - np.asarray(img, dtype=np.uint8))
+    src/image_tools.py:143-144).  cv2.imwrite returns False (no exception)
+    when the directory is missing -- create it and check, or the mandated
+    artifact silently vanishes for public-API callers that bypass main()."""
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    if not cv2.imwrite(path, 255 - np.asarray(img, dtype=np.uint8)):
+        raise IOError(f"failed to write {path}")

@@ -27,15 +27,40 @@ def otsu_threshold_tpu(img_u8: jnp.ndarray) -> jnp.ndarray:
     Returns the threshold t such that the binary image is ``img > t``
     (matching cv2's THRESH_BINARY semantics where pixels strictly greater
     than the returned threshold become 1).
+
+    Numerics: histogram and moment cumsums are EXACT int32 (f32 partial
+    sums go inexact past 2^24 and can flip near-tied variances); the
+    envelope guard keeps ``hist * bins`` cumsums < 2^31.  The final
+    between-class variances are compared in f32 where cv2 uses double, so
+    an exactly-tied pair of thresholds may resolve differently -- the host
+    :func:`otsu_binarize` (cv2) is the product parity path; this twin
+    exists so a future device-resident preprocess can avoid the host trip.
+    cv2's FLT_EPSILON class-weight skip is replicated via the w0/w1 > 0
+    masking (integer weights: the smallest nonzero weight is 1 pixel,
+    far above FLT_EPSILON * total for any supported image).
     """
-    hist = jnp.zeros(256, dtype=jnp.float32).at[img_u8.reshape(-1).astype(jnp.int32)].add(1.0)
+    if img_u8.size >= 1 << 23:  # 255 * px must stay < 2^31 for exact int32
+        raise ValueError(
+            f"otsu_threshold_tpu supports < 2^23 px; got {img_u8.shape}"
+        )
+    hist = (
+        jnp.zeros(256, dtype=jnp.int32)
+        .at[img_u8.reshape(-1).astype(jnp.int32)]
+        .add(1)
+    )
     total = jnp.sum(hist)
-    bins = jnp.arange(256, dtype=jnp.float32)
+    bins = jnp.arange(256, dtype=jnp.int32)
     w0 = jnp.cumsum(hist)  # background weight for threshold t (inclusive)
     w1 = total - w0
     sum0 = jnp.cumsum(hist * bins)
     sum_all = sum0[-1]
-    mu0 = jnp.where(w0 > 0, sum0 / jnp.maximum(w0, 1), 0.0)
-    mu1 = jnp.where(w1 > 0, (sum_all - sum0) / jnp.maximum(w1, 1), 0.0)
-    between = w0 * w1 * (mu0 - mu1) ** 2
+    w0f = w0.astype(jnp.float32)
+    w1f = w1.astype(jnp.float32)
+    mu0 = jnp.where(w0 > 0, sum0.astype(jnp.float32) / jnp.maximum(w0f, 1), 0.0)
+    mu1 = jnp.where(
+        w1 > 0, (sum_all - sum0).astype(jnp.float32) / jnp.maximum(w1f, 1), 0.0
+    )
+    between = jnp.where(
+        jnp.logical_and(w0 > 0, w1 > 0), w0f * w1f * (mu0 - mu1) ** 2, 0.0
+    )
     return jnp.argmax(between).astype(jnp.int32)

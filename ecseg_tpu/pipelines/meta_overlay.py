@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 
 from ..core import imgio
+from ..runtime.trace import stage
 from ..core.config import Config, ConfigError, load_config
 from ..ops.cc import count_cc
 from ..ops.meta_post import count_HSR, count_colocalization
@@ -102,65 +103,67 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     for i in image_paths:
         path_split = os.path.split(i)
         print("Processing image: ", i)
-        I = imgio.imread_rgb(i)
-        res = split_FISH_channels(I, i, sensitivity)
-        if not isinstance(res, tuple):
-            continue
-        red, green = res
-        fish = green
-        fish2 = red
+        with stage("meta_overlay.read+split"):
+            I = imgio.imread_rgb(i)
+            res = split_FISH_channels(I, i, sensitivity)
+            if not isinstance(res, tuple):
+                continue
+            red, green = res
+            fish = green
+            fish2 = red
 
-        _, nuclei, chrom, ec = read_seg(i)
+            _, nuclei, chrom, ec = read_seg(i)
 
         from ..runtime.devicepath import use_device_path
 
-        if use_device_path():
-            # all ten statistics in ONE fused device program (the host path
-            # rescans the image per component -- see ops/overlay_tpu.py)
-            import jax
-            import jax.numpy as jnp
+        with stage("meta_overlay.stats"):
+            if use_device_path():
+                # all ten statistics in ONE fused device program (the host path
+                # rescans the image per component -- see ops/overlay_tpu.py)
+                import jax
+                import jax.numpy as jnp
 
-            from ..ops.overlay_tpu import cc_pair_host_quirk, overlay_stats_tpu
+                from ..ops.overlay_tpu import cc_pair_host_quirk, overlay_stats_tpu
 
-            stats = jax.tree.map(
-                int,
-                jax.device_get(
-                    overlay_stats_tpu(
-                        jnp.asarray(red),
-                        jnp.asarray(green),
-                        jnp.asarray(nuclei),
-                        jnp.asarray(chrom),
-                        jnp.asarray(ec),
-                        HSR_SIZE_THRESHOLD,
-                    )
-                ),
-            )
+                stats = jax.tree.map(
+                    int,
+                    jax.device_get(
+                        overlay_stats_tpu(
+                            jnp.asarray(red),
+                            jnp.asarray(green),
+                            jnp.asarray(nuclei),
+                            jnp.asarray(chrom),
+                            jnp.asarray(ec),
+                            HSR_SIZE_THRESHOLD,
+                        )
+                    ),
+                )
 
-            def _cc_pair(pair, hw=nuclei.shape[0] * nuclei.shape[1]):
-                return cc_pair_host_quirk(pair, hw)
+                def _cc_pair(pair, hw=nuclei.shape[0] * nuclei.shape[1]):
+                    return cc_pair_host_quirk(pair, hw)
 
-            num_ecDNA = _cc_pair(stats["num_ecDNA"])
-            num_FISH = _cc_pair(stats["num_FISH"])
-            num_ecDNA_FISH = stats["num_ecDNA_FISH"]
-            num_HSR = stats["num_HSR"]
-            num_FISH2 = _cc_pair(stats["num_FISH2"])
-            num_FISH_FISH2 = stats["num_FISH_FISH2"]
-            num_ecDNA_FISH2 = stats["num_ecDNA_FISH2"]
-            num_ecDNA_FISH_FISH2 = stats["num_ecDNA_FISH_FISH2"]
-            num_HSR2 = stats["num_HSR2"]
-        else:
-            fish = fish * ~nuclei
-            num_ecDNA = count_cc(ec)  # (count, px) tuple stored verbatim
-            num_FISH = count_cc(fish * ~chrom)
-            num_ecDNA_FISH = count_colocalization(ec, fish)
-            num_HSR = count_HSR(chrom, fish, HSR_SIZE_THRESHOLD)
+                num_ecDNA = _cc_pair(stats["num_ecDNA"])
+                num_FISH = _cc_pair(stats["num_FISH"])
+                num_ecDNA_FISH = stats["num_ecDNA_FISH"]
+                num_HSR = stats["num_HSR"]
+                num_FISH2 = _cc_pair(stats["num_FISH2"])
+                num_FISH_FISH2 = stats["num_FISH_FISH2"]
+                num_ecDNA_FISH2 = stats["num_ecDNA_FISH2"]
+                num_ecDNA_FISH_FISH2 = stats["num_ecDNA_FISH_FISH2"]
+                num_HSR2 = stats["num_HSR2"]
+            else:
+                fish = fish * ~nuclei
+                num_ecDNA = count_cc(ec)  # (count, px) tuple stored verbatim
+                num_FISH = count_cc(fish * ~chrom)
+                num_ecDNA_FISH = count_colocalization(ec, fish)
+                num_HSR = count_HSR(chrom, fish, HSR_SIZE_THRESHOLD)
 
-            fish2 = fish2 * ~nuclei
-            num_FISH2 = count_cc(fish2 * ~chrom)
-            num_FISH_FISH2 = count_colocalization(fish * ~chrom, fish2 * ~chrom)
-            num_ecDNA_FISH2 = count_colocalization(ec, fish2)
-            num_ecDNA_FISH_FISH2 = count_colocalization(ec, fish2 * fish)
-            num_HSR2 = count_HSR(chrom, fish2, HSR_SIZE_THRESHOLD)
+                fish2 = fish2 * ~nuclei
+                num_FISH2 = count_cc(fish2 * ~chrom)
+                num_FISH_FISH2 = count_colocalization(fish * ~chrom, fish2 * ~chrom)
+                num_ecDNA_FISH2 = count_colocalization(ec, fish2)
+                num_ecDNA_FISH_FISH2 = count_colocalization(ec, fish2 * fish)
+                num_HSR2 = count_HSR(chrom, fish2, HSR_SIZE_THRESHOLD)
 
         rows.append(
             {

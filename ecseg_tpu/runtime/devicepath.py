@@ -16,8 +16,19 @@ import os
 
 def use_device_path() -> bool:
     v = os.environ.get("ECSEG_DEVICE_PIPELINE")
-    if v is not None and v != "":
-        return v not in ("0", "false", "False")
+    if v is not None and v.strip() != "":
+        s = v.strip().lower()
+        if s in ("1", "true", "yes", "on"):
+            return True
+        if s in ("0", "false", "no", "off"):
+            return False
+        import sys
+
+        print(
+            f"ECSEG_DEVICE_PIPELINE={v!r} not understood "
+            "(use 1/0); falling back to the backend default",
+            file=sys.stderr,
+        )
     import jax
 
     return jax.default_backend() == "tpu"

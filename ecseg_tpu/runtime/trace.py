@@ -19,6 +19,7 @@ from __future__ import annotations
 import atexit
 import contextlib
 import os
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, List, Optional
@@ -32,17 +33,34 @@ class Tracer:
         self._times: Dict[str, List[float]] = defaultdict(list)
         self._profile_dir = os.environ.get("ECSEG_TRACE_DIR") or None
         self._profiling = False
+        # per-thread nesting stacks: stat_fish's lookahead tail thread
+        # opens stages concurrently with the main thread
+        self._local = threading.local()
+
+    def _stack(self) -> List[float]:
+        st = getattr(self._local, "child_time", None)
+        if st is None:
+            st = self._local.child_time = [0.0]
+        return st
 
     @contextlib.contextmanager
     def stage(self, name: str):
         if not self.enabled:
             yield
             return
+        # self-time accounting: a stage's recorded time excludes the time
+        # of stages nested inside it, so the report columns sum to real
+        # wall time ("timings are attributed to the innermost stage")
+        stack = self._stack()
+        stack.append(0.0)
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            self._times[name].append(time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            inner = stack.pop()
+            self._times[name].append(elapsed - inner)
+            stack[-1] += elapsed
 
     def start_device_profile(self):
         if self._profile_dir and not self._profiling:

@@ -56,6 +56,8 @@ def convert(ckpt_dir: str, out_path: str) -> None:
                 continue
             parts = name.split("/")
             layer, leaf = parts[1], parts[-1]
+            if leaf not in ("kernel", "bias"):
+                continue  # optimizer slots (.../Adam, .../Adam_1) etc.
             if layer in deconv_names:
                 key = deconv_names[layer]
                 if leaf == "kernel":
@@ -76,11 +78,19 @@ def convert(ckpt_dir: str, out_path: str) -> None:
             if not name.startswith("model_RPN/"):
                 continue
             parts = name.split("/")
-            layer = parts[1] if parts[1] != "rpn_conv" else "rpn_conv"
-            leaf = parts[-1]
+            layer, leaf = parts[1], parts[-1]
+            if leaf not in ("kernel", "bias"):
+                continue  # optimizer slots
             for k, v in names.items():
                 if layer.startswith(k):
                     rpn.setdefault(v, {})[leaf] = val
+                    break
+            else:
+                raise ValueError(
+                    f"unrecognized RPN variable scope {name!r}: an npz "
+                    "silently missing RPN weights would only fail at "
+                    "forward time"
+                )
         return rpn
 
     whole = read_ckpt(f"{ckpt_dir}/whole_norm.ckpt")

@@ -126,3 +126,18 @@ def test_u16_to_u8_matches_cv2_convertScaleAbs():
     rgb = (rng.random((32, 32, 3)) * 65535).astype(np.uint16)
     ref3 = cv2.convertScaleAbs(rgb, alpha=255.0 / 65535.0)
     np.testing.assert_array_equal(imgio.u16_to_u8(rgb), ref3)
+
+
+def test_metaseg_main_empty_folder_still_writes_csv(tmp_path):
+    """The reference writes ec_quantification.csv unconditionally
+    (metaseg.py:57) -- an empty input folder must produce a header-only CSV
+    at inpath (consumers poll for it as a completion marker)."""
+    d = str(tmp_path / "empty")
+    os.makedirs(d)
+    cfg = Config(raw={"metaseg": {"inpath": d}})
+    assert metaseg.main(config=cfg) == 0
+    csv = os.path.join(d, "ec_quantification.csv")
+    assert os.path.exists(csv)
+    df = pd.read_csv(csv)
+    assert list(df.columns) == ["image name", "# of ec"]
+    assert len(df) == 0
