@@ -28,6 +28,7 @@ xl (stderr); ``--flagship-only`` skips the xl pass.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -226,11 +227,43 @@ def _result(arch: str, per_chip: float, n_chips: int) -> dict:
     return result
 
 
+def _probe_device(deadline_s: int = 900):
+    """Fail fast (exit 3, no JSON line) if the backend cannot run a trivial
+    op within the deadline: a wedged compile service otherwise hangs the
+    scored run indefinitely, and a hang is strictly worse than a clean
+    bounded failure.  Runs in a thread because a wedged backend blocks
+    inside the C++ client (no Python-level timeout applies)."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    ok = threading.Event()
+
+    def _try():
+        np.asarray(jnp.ones((8, 8)).sum())
+        ok.set()
+
+    t = threading.Thread(target=_try, daemon=True)
+    t.start()
+    t.join(deadline_s)
+    if not ok.is_set():
+        print(
+            f"bench: device unresponsive after {deadline_s}s "
+            "(trivial op did not complete); aborting without a result",
+            file=sys.stderr,
+            flush=True,
+        )
+        os._exit(3)
+
+
 def main():
     from ecseg_tpu.runtime.hostmem import tune_host_allocator
 
     tune_host_allocator()
     import jax
+
+    _probe_device()
 
     # the jitted program runs on ONE device (chunks are committed to the
     # default device, unsharded), so per-chip throughput divides by 1 --
