@@ -221,7 +221,18 @@ def nuset_forward(
     proposals = np.asarray(proposals)[valid]
     scores = np.asarray(scores)[valid]
 
-    # host boundary #2: marker watershed (reference marker_watershed.py)
+    # host boundary #2: marker watershed (reference marker_watershed.py).
+    # ECSEG_FAST_WATERSHED=1 swaps in the device minimax-flood fast path
+    # (ops/watershed_tpu) -- same marker placement, may differ from the
+    # parity result on exact ridge ties (see runtime/devicepath.fast_watershed)
+    from ..runtime.devicepath import fast_watershed
+
+    if fast_watershed():
+        from ..ops.watershed_tpu import nuset_marker_watershed_fast
+
+        return nuset_marker_watershed_fast(
+            scores, proposals, mask, min_score=model.bbox_min_score
+        ).astype(np.float32)
     return nuset_marker_watershed(
         scores, proposals, mask, min_score=model.bbox_min_score
     ).astype(np.float32)

@@ -101,6 +101,72 @@ def watershed(
     return output
 
 
+def nuset_place_markers(
+    scores: np.ndarray,
+    proposals: np.ndarray,
+    pred_mask: np.ndarray,
+    min_score: float = 0.99,
+):
+    """Marker placement of reference marker_watershed.py:9-80: one point
+    marker per confident proposal (interior-only, score-ascending overwrite
+    order), plus fallback region-center markers for mask regions >= 10 px
+    lacking any marker.  Returns the (H, W) float32 point-marker map, or
+    ``None`` when no proposal clears ``min_score`` (the reference's
+    all-ones-contour branch, marker_watershed.py:86-89).
+
+    Shared by the parity path (:func:`nuset_marker_watershed`) and the
+    device fast path (ops/watershed_tpu.nuset_marker_watershed_fast) so the
+    placement quirks cannot diverge between them."""
+    pred_mask = np.asarray(pred_mask)
+    im_height, im_width = pred_mask.shape
+    mask = pred_mask.reshape(im_height, im_width)
+
+    scores = np.asarray(scores)
+    proposals = np.asarray(proposals)
+    if not (scores.size > 0 and np.max(scores) > min_score):
+        return None
+
+    markers = np.zeros((im_height, im_width), np.float32)
+    edge_len = 20
+    edge_mask = np.zeros((im_height, im_width))
+    edge_mask[edge_len : im_height - edge_len, edge_len : im_width - edge_len] = 1
+    edge_mask = 1 - edge_mask
+
+    top_idx = scores > min_score
+    scores_f = scores[top_idx]
+    proposals_f = proposals[top_idx]
+    sorted_idx = scores_f.argsort()
+    proposals_f = proposals_f[sorted_idx]
+
+    p = 1
+    for proposal in proposals_f:
+        bbox = list(proposal)
+        # proposals are (x1, y1, x2, y2); the reference's x_pos is the
+        # row (y-center) and y_pos the column (x-center)
+        x_pos = int(round((bbox[3] + bbox[1]) / 2))
+        y_pos = int(round((bbox[2] + bbox[0]) / 2))
+        if edge_mask[x_pos, y_pos] < 1:
+            # (the reference's `markers[...] == 0` here is a no-op)
+            markers[x_pos, y_pos] = p
+            p += 1
+
+    label_mask = cc_label(mask != 0)
+    for region in regionprops(label_mask):
+        if region["Area"] < 10:
+            continue
+        minx, miny, maxx, maxy = region["BoundingBox"]
+        minx = int(np.clip(minx, 0, im_height - 1))
+        miny = int(np.clip(miny, 0, im_width - 1))
+        maxx = int(np.clip(maxx, 0, im_height - 1))
+        maxy = int(np.clip(maxy, 0, im_width - 1))
+        if np.sum(markers[minx:maxx, miny:maxy]) == 0:
+            x_pos = int(round((minx + maxx) / 2))
+            y_pos = int(round((miny + maxy) / 2))
+            markers[x_pos, y_pos] = p
+            p += 1
+    return markers
+
+
 def nuset_marker_watershed(
     scores: np.ndarray,
     proposals: np.ndarray,
@@ -112,51 +178,10 @@ def nuset_marker_watershed(
     watershed on -EDT, multiply the line-split contour with the mask."""
     pred_mask = np.asarray(pred_mask)
     im_height, im_width = pred_mask.shape
-    markers = np.zeros((im_height, im_width), np.float32)
     mask = pred_mask.reshape(im_height, im_width)
 
-    edge_len = 20
-    edge_mask = np.zeros((im_height, im_width))
-    edge_mask[edge_len : im_height - edge_len, edge_len : im_width - edge_len] = 1
-    edge_mask = 1 - edge_mask
-
-    scores = np.asarray(scores)
-    proposals = np.asarray(proposals)
-
-    if scores.size > 0 and np.max(scores) > min_score:
-        top_idx = scores > min_score
-        scores_f = scores[top_idx]
-        proposals_f = proposals[top_idx]
-        sorted_idx = scores_f.argsort()
-        proposals_f = proposals_f[sorted_idx]
-
-        p = 1
-        for proposal in proposals_f:
-            bbox = list(proposal)
-            # proposals are (x1, y1, x2, y2); the reference's x_pos is the
-            # row (y-center) and y_pos the column (x-center)
-            x_pos = int(round((bbox[3] + bbox[1]) / 2))
-            y_pos = int(round((bbox[2] + bbox[0]) / 2))
-            if edge_mask[x_pos, y_pos] < 1:
-                # (the reference's `markers[...] == 0` here is a no-op)
-                markers[x_pos, y_pos] = p
-                p += 1
-
-        label_mask = cc_label(mask != 0)
-        for region in regionprops(label_mask):
-            if region["Area"] < 10:
-                continue
-            minx, miny, maxx, maxy = region["BoundingBox"]
-            minx = int(np.clip(minx, 0, im_height - 1))
-            miny = int(np.clip(miny, 0, im_width - 1))
-            maxx = int(np.clip(maxx, 0, im_height - 1))
-            maxy = int(np.clip(maxy, 0, im_width - 1))
-            if np.sum(markers[minx:maxx, miny:maxy]) == 0:
-                x_pos = int(round((minx + maxx) / 2))
-                y_pos = int(round((miny + maxy) / 2))
-                markers[x_pos, y_pos] = p
-                p += 1
-
+    markers = nuset_place_markers(scores, proposals, pred_mask, min_score)
+    if markers is not None:
         markers_rw = morph.dilation(markers, morph.disk(3))
         distance = ndi.distance_transform_edt(ndi.binary_fill_holes(mask))
         contour = watershed(

@@ -14,6 +14,20 @@ from __future__ import annotations
 import os
 
 
+def fast_watershed() -> bool:
+    """Opt-in throughput mode: run NuSeT's marker watershed as a device
+    minimax-flood program (ops/watershed_tpu.nuset_marker_watershed_fast)
+    instead of the host priority-flood parity path.  Default OFF -- the fast
+    path may differ from the host on exact ridge ties, so it is never chosen
+    implicitly (ECSEG_FAST_WATERSHED=1 enables it)."""
+    return os.environ.get("ECSEG_FAST_WATERSHED", "").strip().lower() in (
+        "1",
+        "true",
+        "yes",
+        "on",
+    )
+
+
 def use_device_path() -> bool:
     v = os.environ.get("ECSEG_DEVICE_PIPELINE")
     if v is not None and v.strip() != "":

@@ -57,6 +57,106 @@ def test_edt_blobs_near_total_agreement(rng):
         assert agreement >= 0.97, agreement
 
 
+def _circle(shape, cy, cx, r):
+    yy, xx = np.ogrid[: shape[0], : shape[1]]
+    return (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+
+
+def _proposals_for(centers_r):
+    """(x1, y1, x2, y2) boxes centered on (cy, cx) with confident scores."""
+    props = np.array(
+        [[cx - r, cy - r, cx + r, cy + r] for cy, cx, r in centers_r],
+        np.float32,
+    )
+    scores = np.linspace(0.97, 0.99, len(centers_r)).astype(np.float32)
+    return scores, props
+
+
+def test_nuset_fast_exact_on_separated_nuclei():
+    """Well-separated basins have a unique minimax assignment -> the device
+    fast path equals the host parity path bit-for-bit."""
+    from ecseg_tpu.ops.watershed import nuset_marker_watershed
+    from ecseg_tpu.ops.watershed_tpu import nuset_marker_watershed_fast
+
+    shape = (120, 140)
+    pred = (_circle(shape, 45, 42, 17) | _circle(shape, 82, 100, 15)).astype(
+        np.float32
+    )
+    scores, props = _proposals_for([(45, 42, 17), (82, 100, 15)])
+    host = nuset_marker_watershed(scores, props, pred, min_score=0.95)
+    fast = nuset_marker_watershed_fast(scores, props, pred, min_score=0.95)
+    assert fast.dtype == host.dtype
+    assert np.array_equal(fast, host)
+
+
+def test_nuset_fast_splits_touching_nuclei():
+    """Touching nuclei: the fast path separates them with a zeroed line and
+    agrees with the host parity path away from exact ridge ties."""
+    from ecseg_tpu.ops.cc import label as cc_label
+    from ecseg_tpu.ops.watershed import nuset_marker_watershed
+    from ecseg_tpu.ops.watershed_tpu import nuset_marker_watershed_fast
+
+    shape = (120, 140)
+    pred = (_circle(shape, 60, 50, 21) | _circle(shape, 60, 84, 19)).astype(
+        np.float32
+    )
+    scores, props = _proposals_for([(60, 50, 21), (60, 84, 19)])
+    host = nuset_marker_watershed(scores, props, pred, min_score=0.95)
+    fast = nuset_marker_watershed_fast(scores, props, pred, min_score=0.95)
+
+    # both split the fused blob into two 4-connected components
+    assert cc_label(fast != 0).max() == 2
+    assert cc_label(host != 0).max() == 2
+    agreement = (fast == host).mean()
+    assert agreement >= 0.995, agreement
+
+
+def test_nuset_fast_no_confident_proposal_is_identity():
+    """reference marker_watershed.py:86-89: no score above min_score ->
+    all-ones contour -> the mask passes through unchanged (both paths)."""
+    from ecseg_tpu.ops.watershed import nuset_marker_watershed
+    from ecseg_tpu.ops.watershed_tpu import nuset_marker_watershed_fast
+
+    pred = _circle((64, 64), 30, 30, 12).astype(np.float32)
+    scores = np.array([0.5, 0.8], np.float32)
+    props = np.array([[10, 10, 40, 40], [20, 20, 50, 50]], np.float32)
+    host = nuset_marker_watershed(scores, props, pred, min_score=0.95)
+    fast = nuset_marker_watershed_fast(scores, props, pred, min_score=0.95)
+    assert np.array_equal(fast, pred.astype(np.int32))
+    assert np.array_equal(fast, host)
+
+
+def test_fast_watershed_toggle_routing(monkeypatch):
+    """ECSEG_FAST_WATERSHED=1 routes nuset_forward's pass-2 tail through the
+    device fast path; default stays on the host parity path."""
+    from ecseg_tpu.runtime.devicepath import fast_watershed
+
+    monkeypatch.delenv("ECSEG_FAST_WATERSHED", raising=False)
+    assert not fast_watershed()
+    monkeypatch.setenv("ECSEG_FAST_WATERSHED", "1")
+    assert fast_watershed()
+
+    import ecseg_tpu.models.nuset_infer as nuset_infer
+    import ecseg_tpu.ops.watershed_tpu as wtpu
+    from tests._nusetutil import crafted_nuset_model
+
+    calls = []
+    real = wtpu.nuset_marker_watershed_fast
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(wtpu, "nuset_marker_watershed_fast", spy)
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((96, 96)) * 0.2).astype(np.float32)
+    img[20:50, 20:50] = 1.0
+    model = crafted_nuset_model(resize_scale=1.0)
+    nuset_infer.nuset_forward(model, img, pass_two=True)
+    assert calls, "fast path was not routed"
+
+
 def test_mask_and_unreachable_regions(rng):
     image = rng.random((40, 60))
     mask = np.zeros((40, 60), bool)
