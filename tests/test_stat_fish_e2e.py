@@ -140,6 +140,53 @@ def test_stat_fish_interseg_fish_distance_e2e(
     assert (dist["normalized_distance"] >= 0).all()
 
 
+def test_stat_fish_fast_watershed_toggle(
+    crafted_model, synthetic_interphase, monkeypatch, tmp_path
+):
+    """ECSEG_FAST_WATERSHED=1 drives the full stat_fish main through the
+    device minimax-flood watershed (ops/watershed_tpu) and still produces a
+    schema-complete CSV; on this well-separated synthetic input the result
+    matches the parity path exactly."""
+    import shutil
+
+    import pandas as pd
+
+    from ecseg_tpu.pipelines import stat_fish
+
+    inpath = str(tmp_path / "fastws")
+    shutil.copytree(
+        synthetic_interphase, inpath,
+        ignore=shutil.ignore_patterns("annotated*", "*.csv"),
+    )
+    cfg = Config(
+        raw={
+            "stat_fish": {
+                "inpath": inpath,
+                "scale": 1,
+                "use_min_cut": True,
+                "nuclei_size_T": 500,
+            }
+        }
+    )
+    monkeypatch.setattr(
+        stat_fish, "load_nuset_model", lambda **kw: crafted_model
+    )
+    monkeypatch.setenv("ECSEG_FAST_WATERSHED", "1")
+    assert stat_fish.main(config=cfg) == 0
+    fast_csv = pd.read_csv(
+        os.path.join(inpath, "annotated", "stat_fish_lsq.csv")
+    )
+
+    ref_csv_path = os.path.join(
+        synthetic_interphase, "annotated", "stat_fish_lsq.csv"
+    )
+    if os.path.exists(ref_csv_path):  # parity run from the e2e test above
+        ref_csv = pd.read_csv(ref_csv_path)
+        pd.testing.assert_frame_equal(fast_csv, ref_csv)
+    else:
+        assert len(fast_csv) == 2
+
+
 def test_stat_fish_archives_previous_annotated(
     crafted_model, synthetic_interphase, monkeypatch
 ):
