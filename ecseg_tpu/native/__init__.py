@@ -47,6 +47,17 @@ def _build() -> bool:
         return False
 
 
+def _record_native_fallback() -> None:
+    """Count the build/dlopen failure once (runtime/fallbacks); an explicit
+    ECSEG_NO_NATIVE opt-out is not a failure and is never recorded."""
+    try:
+        from ..runtime import fallbacks
+
+        fallbacks.record(fallbacks.NATIVE_BUILD)
+    except Exception:
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     if _lib is not None:
@@ -56,11 +67,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
         if not _build():
             _load_failed = True
+            _record_native_fallback()
             return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
         _load_failed = True
+        _record_native_fallback()
         return None
 
     lib.cc_label.restype = ctypes.c_int64

@@ -72,7 +72,16 @@ def _fits_vmem(h: int, w: int) -> bool:
     if _interpret():
         return True  # interpret mode has no VMEM; keep one code path in CI
     hp, wp = _padded_dims(h, w)
-    return hp * wp * 4 <= _PALLAS_MAX_MAP_BYTES
+    ok = hp * wp * 4 <= _PALLAS_MAX_MAP_BYTES
+    if not ok:
+        # gate hits are recorded at TRACE time (once per new geometry per
+        # process, since the callers are jitted) -- the signal is "this
+        # program compiled with the slow XLA formulation", see
+        # runtime/fallbacks
+        from ..runtime import fallbacks
+
+        fallbacks.record(fallbacks.PALLAS_VMEM)
+    return ok
 
 
 def _padded_dims(h: int, w: int):

@@ -335,6 +335,9 @@ def main(argv=None, config: Optional[Config] = None) -> int:
             os.path.join(path_split[0], f"interphase_prediction_{fish_color}.csv"),
             index=False,
         )
+    from ..runtime import fallbacks
+
+    fallbacks.report()
     return 0
 
 

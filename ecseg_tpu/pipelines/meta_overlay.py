@@ -200,6 +200,9 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     ]
     if path_split is not None:
         df.to_csv(os.path.join(path_split[0], "fish_quantification.csv"), index=False)
+    from ..runtime import fallbacks
+
+    fallbacks.report()
     return 0
 
 

@@ -119,6 +119,10 @@ def _decode_post_blob(blob: np.ndarray, w: int):
     from ..ops.packing import unpack_labels_2bit
 
     ok = bool(blob[0, 0])
+    if not ok:
+        from ..runtime import fallbacks
+
+        fallbacks.record(fallbacks.META_POST_OK)
     num_ec = int(blob[0, 1]) | int(blob[0, 2]) << 8 | int(blob[0, 3]) << 16 | int(blob[0, 4]) << 24
     labels = unpack_labels_2bit(blob[1:], w).astype(np.int64)
     return ok, labels, num_ec
@@ -277,6 +281,136 @@ def segment_folder_sharded(
     yield from drain()
 
 
+def _group_post_fn(batch_local, params, forward_fn, positions, dtype):
+    """shard_map body for the sharded DEVICE post path: the local shard is
+    ONE image's patch stack (plus a leading length-1 image axis).  Runs the
+    full per-image chain -- forward -> argmax -> Pallas stitch ->
+    device meta_inference -> packed blob -- entirely on this device, so the
+    posts of the images in a group execute in PARALLEL across the mesh
+    instead of serially on the default device."""
+    patches = batch_local[0]
+    label_patches = _patch_labels_fn(params, patches, forward_fn, dtype)
+    from ..ops.cc_pallas import stitch_labels_pallas
+
+    labels = stitch_labels_pallas(label_patches, positions)
+    return labels[None], _post_blob(labels)[None]
+
+
+_GROUP_JIT_CACHE = {}
+
+
+def _sharded_group_post_jit(forward_fn, dtype, flat_mesh, positions):
+    """Per-(forward_fn, dtype, mesh, geometry) cache of the grouped
+    device-post program (same no-fresh-jit rule as _post_blob_jit)."""
+    from jax.sharding import PartitionSpec as P
+
+    key = (forward_fn, dtype, flat_mesh, positions)
+    fn = _GROUP_JIT_CACHE.get(key)
+    if fn is None:
+        mapped = jax.shard_map(
+            functools.partial(
+                _group_post_fn,
+                forward_fn=forward_fn,
+                positions=positions,
+                dtype=dtype,
+            ),
+            mesh=flat_mesh,
+            in_specs=(P("data", None, None, None, None), P()),
+            out_specs=(P("data", None, None), P("data", None, None)),
+            check_vma=False,
+        )
+        fn = jax.jit(mapped)
+        _GROUP_JIT_CACHE[key] = fn
+    return fn
+
+
+def segment_folder_sharded_device(
+    model,
+    image_paths,
+    mesh=None,
+    *,
+    dtype=jnp.float32,
+    save_dapi: bool = True,
+):
+    """Mesh-parallel folder segmentation with the post chain ON DEVICE: each
+    image's stitched canvas lives on its home device, ``_post_blob`` (device
+    meta_inference + ec count) runs there, and only the ~16x-packed blobs
+    are fetched.  Host work is decode + PNG/CSV only -- unlike
+    :func:`segment_folder_sharded`, which fetches raw label patches and
+    post-processes on host (kept as the host-branch parity twin).
+
+    Images are grouped by geometry into groups of ``n_devices`` and
+    dispatched over a FLAT data mesh (inference needs no tensor
+    parallelism; every device runs a whole image, so a (data, model) mesh
+    would leave the model axis doing duplicate work).  On a component-budget
+    overflow (``ok`` False, ops/meta_post_tpu contract) only that image's
+    raw canvas shard is fetched and redone on the host oracle -- counted by
+    runtime/fallbacks.
+
+    Yields (image_path, final int64 label map, num_ec) in input order.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..ops.cc import count_cc as _count_cc_host
+    from ..parallel.mesh import make_mesh
+    from ..runtime.batching import prefetch_map
+
+    if isinstance(model, tuple):
+        params, forward_fn = model
+    else:
+        params, forward_fn = model, _default_forward
+    if mesh is None:
+        mesh = make_mesh()
+    devices = np.asarray(mesh.devices).reshape(-1)
+    flat_mesh = Mesh(devices, ("data",))
+    n_dev = len(devices)
+    params = jax.device_put(params, NamedSharding(flat_mesh, P()))
+
+    groups = {}  # positions -> [(idx, path, patches)]
+    results = {}  # idx -> (path, labels, num_ec)
+    cursor = 0
+
+    def flush(pos_key, items):
+        pad = n_dev - len(items)
+        stacked = np.stack(
+            [p for (_, _, p) in items]
+            + [np.zeros_like(items[0][2])] * pad
+        )
+        fn = _sharded_group_post_jit(forward_fn, dtype, flat_mesh, pos_key)
+        with stage("metaseg.sharded_forward+post"):
+            labels_dev, blobs_dev = fn(stacked, params)
+            blobs = np.asarray(blobs_dev)
+        for k, (idx, path, _) in enumerate(items):
+            ok, I, num = _decode_post_blob(blobs[k], labels_dev.shape[2])
+            if not ok:
+                # fetch only THIS image's canvas shard; host oracle redo
+                raw = np.asarray(labels_dev[k]).astype(np.int64)
+                I = meta_inference(raw)
+                num = _count_cc_host(I == 3)[0]
+            results[idx] = (path, I, num)
+
+    def emit():
+        nonlocal cursor
+        while cursor in results:
+            yield results.pop(cursor)
+            cursor += 1
+
+    prep = functools.partial(_prepare_image, save_dapi=save_dapi)
+    for idx, (path, (patches, pos)) in enumerate(
+        prefetch_map(prep, image_paths)
+    ):
+        lst = groups.setdefault(pos, [])
+        lst.append((idx, path, patches))
+        if len(lst) == n_dev:
+            flush(pos, lst)
+            groups[pos] = []
+            yield from emit()
+    for pos_key, lst in groups.items():
+        if lst:
+            flush(pos_key, lst)
+    yield from emit()
+
+
 def load_model(model_dir: str = "models", key: Optional[jax.Array] = None):
     """Resolve the metaseg model, in priority order:
 
@@ -354,35 +488,25 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         I = meta_inference(raw_labels_i64)
         return I, count_cc(I == 3)[0]
 
-    def _device_post(labels_dev, host_labels=None):
-        """meta_inference + ec count on device, fetched as one packed blob;
-        host oracle on budget overflow (ops/meta_post_tpu contract).
-        ``host_labels``: the caller's existing host copy, if any -- the
-        fallback must not refetch the full int32 canvas through the
-        ~27 MB/s relay when the bytes are already in host memory."""
-        blob = np.asarray(_post_blob_jit(labels_dev))
-        ok, I, num = _decode_post_blob(blob, labels_dev.shape[1])
-        if ok:
-            return I, num
-        if host_labels is None:
-            host_labels = np.asarray(labels_dev).astype(np.int64)
-        return _host_post(host_labels)
-
     if len(jax.devices()) > 1:
         # multi-chip: cross-image packed batches sharded over the mesh
         # 'data' axis (SURVEY 2.6; replaces the reference's MirroredStrategy)
-        def _sharded():
-            for i, lab in segment_folder_sharded((params, forward_fn), image_paths):
-                with stage("metaseg.meta_inference"):
-                    if device_post:
-                        I, num = _device_post(
-                            jnp.asarray(lab.astype(np.int32)), host_labels=lab
-                        )
-                    else:
+        if device_post:
+            # stitch + meta_inference stay on each image's home device;
+            # only packed blobs come back (host = decode + PNG/CSV)
+            results = segment_folder_sharded_device(
+                (params, forward_fn), image_paths
+            )
+        else:
+            def _sharded():
+                for i, lab in segment_folder_sharded(
+                    (params, forward_fn), image_paths
+                ):
+                    with stage("metaseg.meta_inference"):
                         I, num = _host_post(lab)
-                yield i, I, num
+                    yield i, I, num
 
-        results = _sharded()
+            results = _sharded()
     else:
         def _per_image():
             for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):
@@ -431,6 +555,9 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     out_csv = os.path.join(inpath, "ec_quantification.csv")
     print("Saving ec quantification to", out_csv)
     df.to_csv(out_csv, index=False)
+    from ..runtime import fallbacks
+
+    fallbacks.report()
     return 0
 
 

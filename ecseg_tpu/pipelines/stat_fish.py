@@ -345,6 +345,9 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             f"{inpath}/annotated_{str(datetime.datetime.now())[5:-10].replace(' ', '-')}",
         )
     os.rename(f"{inpath}/{output_folder}", f"{inpath}/annotated")
+    from ..runtime import fallbacks
+
+    fallbacks.report()
     return 0
 
 

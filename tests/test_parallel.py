@@ -279,3 +279,55 @@ def test_mesh_step_forwards_remat_and_masks_pads():
         _, _, loss = step(p, opt.init(p), x, y, valid)
         losses.append(float(loss))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-7)
+
+
+def test_segment_folder_sharded_device_matches_per_image(tmp_path):
+    """The device-post sharded path (stitch + meta_inference on each
+    image's home device, packed-blob fetches) must equal the per-image
+    chain, across a full group, a remainder group, and a mixed geometry."""
+    import os
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ecseg_tpu.models import metaseg_unet
+    from ecseg_tpu.ops.cc import count_cc
+    from ecseg_tpu.ops.meta_post import meta_inference
+    from ecseg_tpu.parallel.mesh import make_mesh
+    from ecseg_tpu.pipelines import metaseg
+
+    mesh = make_mesh(8, model_axis=2)
+    params = metaseg_unet.init_params(
+        jax.random.PRNGKey(0), widths=(8, 16), bottleneck=32
+    )
+    rng = np.random.default_rng(0)
+    paths = []
+    for k in range(9):
+        h, w = (320, 384) if k != 5 else (300, 300)
+        img = (rng.random((h, w)) * 60).astype(np.uint8)
+        img[h // 4 : h // 2, w // 4 : w // 2] = 200
+        img[20:24, 30:33] = 230
+        p = str(tmp_path / f"im{k:02d}.tif")
+        cv2.imwrite(p, img)
+        paths.append(p)
+
+    got = list(
+        metaseg.segment_folder_sharded_device(
+            (params, metaseg._default_forward), paths, mesh=mesh,
+            save_dapi=False,
+        )
+    )
+    assert [g[0] for g in got] == paths
+    for p, I, num in got:
+        patches, pos = metaseg._prepare_image(p, save_dapi=False)
+        lab = np.asarray(
+            metaseg._segment_patches_jit(
+                params, jnp.asarray(patches), metaseg._default_forward, pos,
+                jnp.float32,
+            )
+        ).astype(np.int64)
+        want_I = meta_inference(lab)
+        assert np.array_equal(I, want_I), p
+        assert num == count_cc(want_I == 3)[0], p
