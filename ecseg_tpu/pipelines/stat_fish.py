@@ -307,30 +307,96 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
 
     import concurrent.futures as cf
 
-    with cf.ThreadPoolExecutor(max_workers=1) as tailpool:
-        pending = None
-        for i, I in prefetch_map(_decode, image_paths):
-            path_split = os.path.split(i)
-            print("Processing image: ", i)
-            blue = I[:, :, 0]
+    def _segment_and_tail(i, I, seg_model):
+        """One image end-to-end: NuSeT device passes + the host tail."""
+        blue = I[:, :, 0]
+        with stage("stat_fish.nuclei_segment"):
+            segmented_cells = nuset_infer.nuclei_segment(
+                blue, seg_model, nuclei_size_t
+            )
+        imheight, imwidth = segmented_cells.shape
+        I = I[:imheight, :imwidth, :]
+        segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
+        return _tail(i, I, segmented_cells)
 
-            with stage("stat_fish.nuclei_segment"):
-                segmented_cells = nuset_infer.nuclei_segment(
-                    blue, model, nuclei_size_t
-                )
+    devices = jax.devices()
+    shard = len(devices) > 1 and os.environ.get(
+        "ECSEG_STAT_FISH_SHARD", "1"
+    ).strip().lower() not in ("0", "false", "no", "off")
 
-            imheight, imwidth = segmented_cells.shape
-            I = I[:imheight, :imwidth, :]
-            segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
+    if not shard:
+        # single device: one-image lookahead -- the host tail of image i
+        # overlaps the NuSeT device passes of image i+1
+        with cf.ThreadPoolExecutor(max_workers=1) as tailpool:
+            pending = None
+            for i, I in prefetch_map(_decode, image_paths):
+                path_split = os.path.split(i)
+                print("Processing image: ", i)
+                blue = I[:, :, 0]
 
-            # one-image lookahead: wait for the previous tail, then hand
-            # this image's host tail to the worker and move on to the next
-            # image's device passes
+                with stage("stat_fish.nuclei_segment"):
+                    segmented_cells = nuset_infer.nuclei_segment(
+                        blue, model, nuclei_size_t
+                    )
+
+                imheight, imwidth = segmented_cells.shape
+                I = I[:imheight, :imwidth, :]
+                segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
+
+                if pending is not None:
+                    dfs.append(pending.result())
+                pending = tailpool.submit(_tail, i, I, segmented_cells)
             if pending is not None:
                 dfs.append(pending.result())
-            pending = tailpool.submit(_tail, i, I, segmented_cells)
-        if pending is not None:
-            dfs.append(pending.result())
+    else:
+        # multi-chip: images are embarrassingly parallel (reference
+        # src/stat_fish.py:199-308 is a per-image loop), so fan them out
+        # data-parallel over the mesh -- each worker thread pins one
+        # device via jax.default_device (weights replicated per device)
+        # and runs the full image there, host tail included.  CSV bytes
+        # stay identical to the sequential path: per-image work is
+        # unchanged and rows are re-emitted in input order.  The 'auto'
+        # scale rule (resolved on the FIRST image, reference
+        # stat_fish.py:228) stays sequential: image 0 completes before
+        # the fan-out starts.  ECSEG_STAT_FISH_SHARD=0 forces the
+        # sequential path.
+        import dataclasses
+
+        replicas = {}
+        for dev in devices:
+            put = lambda t, d=dev: jax.device_put(t, d)
+            replicas[dev] = dataclasses.replace(
+                model,
+                unet_whole=jax.tree.map(put, model.unet_whole),
+                unet_fg=jax.tree.map(put, model.unet_fg),
+                rpn_fg=jax.tree.map(put, model.rpn_fg),
+            )
+
+        def _work(i, I, dev):
+            with jax.default_device(dev):
+                print("Processing image: ", i)
+                return _segment_and_tail(i, I, replicas[dev])
+
+        results = {}
+        inflight = {}
+        with cf.ThreadPoolExecutor(max_workers=len(devices)) as pool:
+            first_done = scaling_factor != "auto"
+            for idx, (i, I) in enumerate(prefetch_map(_decode, image_paths)):
+                path_split = os.path.split(i)
+                if not first_done:
+                    results[idx] = _work(i, I, devices[0])
+                    first_done = True
+                    continue
+                # bound host memory: keep at most 2 images in flight per
+                # device, draining the oldest first
+                while len(inflight) >= 2 * len(devices):
+                    oldest = min(inflight)
+                    results[oldest] = inflight.pop(oldest).result()
+                dev = devices[idx % len(devices)]
+                inflight[idx] = pool.submit(_work, i, I, dev)
+            for k in sorted(inflight):
+                results[k] = inflight[k].result()
+        dfs = [results[k] for k in sorted(results)]
 
     if dfs:
         out = pd.concat(dfs)

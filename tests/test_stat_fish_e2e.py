@@ -211,3 +211,61 @@ def test_stat_fish_archives_previous_annotated(
 
     archived = _glob.glob(os.path.join(synthetic_interphase, "annotated_*"))
     assert archived, "previous annotated/ must be archived with a timestamp"
+
+
+def test_stat_fish_sharded_matches_sequential(
+    crafted_model, monkeypatch, tmp_path
+):
+    """Multi-chip stat_fish (images fanned out data-parallel over the
+    device mesh, host tails on the worker pool) must produce byte-identical
+    artifacts to the sequential path -- including the 'auto' scale rule,
+    which resolves on the FIRST image before the fan-out starts."""
+    import cv2
+
+    from ecseg_tpu.pipelines import stat_fish
+
+    monkeypatch.setattr(stat_fish, "load_nuset_model", lambda **kw: crafted_model)
+
+    def make_folder(d, n=4):
+        os.makedirs(d, exist_ok=True)
+        H = W = 160
+        for k in range(n):
+            img = np.zeros((H, W, 3), np.uint8)
+            img[..., 0] = 20
+            yy, xx = np.mgrid[:H, :W]
+            for c, (y, x) in enumerate([(50, 50), (110, 110)]):
+                r = 25 + 3 * k + 4 * c
+                m = (yy - y) ** 2 + (xx - x) ** 2 <= r * r
+                img[..., 0][m] = 220
+                img[y - 1 : y + 2, x - 1 : x + 2, 1] = 220
+                img[y + 6 : y + 9, x + 6 : x + 9, 2] = 220
+            cv2.imwrite(os.path.join(d, f"im{k}.tif"), img)
+
+    outs = {}
+    for mode, env in [("seq", "0"), ("shard", "1")]:
+        monkeypatch.setenv("ECSEG_STAT_FISH_SHARD", env)
+        d = str(tmp_path / mode)
+        make_folder(d)
+        cfg = Config(
+            raw={
+                "stat_fish": {
+                    "inpath": d,
+                    "scale": "auto",
+                    "use_min_cut": True,
+                    "nuclei_size_T": 400,
+                }
+            }
+        )
+        assert stat_fish.main(config=cfg) == 0
+        ann = os.path.join(d, "annotated")
+        files = {}
+        for root, _, fs in os.walk(ann):
+            for f in fs:
+                if f.endswith((".csv", ".npy", ".tif")):
+                    rel = os.path.relpath(os.path.join(root, f), ann)
+                    with open(os.path.join(root, f), "rb") as fh:
+                        files[rel] = fh.read()
+        outs[mode] = files
+    assert set(outs["seq"]) == set(outs["shard"])
+    for k in outs["seq"]:
+        assert outs["seq"][k] == outs["shard"][k], k
