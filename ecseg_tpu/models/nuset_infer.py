@@ -225,11 +225,25 @@ def nuset_forward(
     # ECSEG_FAST_WATERSHED=1 swaps in the device minimax-flood fast path
     # (ops/watershed_tpu) -- same marker placement, may differ from the
     # parity result on exact ridge ties (see runtime/devicepath.fast_watershed)
-    from ..runtime.devicepath import fast_watershed
+    from ..runtime.devicepath import fast_watershed, fast_watershed_check
 
     if fast_watershed():
         from ..ops.watershed_tpu import nuset_marker_watershed_fast
 
+        if fast_watershed_check():
+            out, tie_px = nuset_marker_watershed_fast(
+                scores,
+                proposals,
+                mask,
+                min_score=model.bbox_min_score,
+                count_ties=True,
+            )
+            if tie_px:
+                from ..runtime import fallbacks
+
+                fallbacks.record("fast_watershed_tie_px", tie_px)
+                fallbacks.record("fast_watershed_tie_images")
+            return out.astype(np.float32)
         return nuset_marker_watershed_fast(
             scores, proposals, mask, min_score=model.bbox_min_score
         ).astype(np.float32)

@@ -171,6 +171,7 @@ def nuset_marker_watershed_fast(
     proposals,
     pred_mask,
     min_score: float = 0.99,
+    count_ties: bool = False,
 ):
     """Device FAST PATH twin of ops/watershed.nuset_marker_watershed
     (reference src/model_layers/marker_watershed.py:9-96).  Marker placement
@@ -179,7 +180,19 @@ def nuset_marker_watershed_fast(
     one jitted device program.  Opt-in via ECSEG_FAST_WATERSHED=1 (see
     models/nuset_infer.nuset_forward): identical to the host result wherever
     the minimax assignment is unique, may differ on exact ridge ties, so it
-    is NOT the parity default."""
+    is NOT the parity default.
+
+    ``count_ties=True`` additionally measures the fast path's own
+    order-dependence: rerunning with the marker ids PERMUTED
+    (id -> max+1-id) flips the pixels whose decision rests on the id-based
+    tie rule.  Returns ``(result, tie_px)`` with ``tie_px`` the count of
+    flipped contour pixels.  This is a LOWER BOUND on host divergence, not
+    a certificate: minimax ties the flood breaks by propagation geometry
+    (stable under id permutation) can still differ from skimage's
+    insertion-age order -- measured on realistic touching-nuclei fields,
+    host-divergent pixels run ~1.6% of foreground while the permutation
+    proxy flags ~0.1% (scripts/quantify_watershed_divergence.py; numbers
+    in README)."""
     import numpy as np
 
     from .packing import unpack_mask_1bit
@@ -190,7 +203,8 @@ def nuset_marker_watershed_fast(
     markers = nuset_place_markers(scores, proposals, pred_mask, min_score)
     if markers is None:
         # reference marker_watershed.py:86-89: all-ones contour
-        return pred_mask.astype(np.int32)
+        out = pred_mask.astype(np.int32)
+        return (out, 0) if count_ties else out
 
     Hp = max(_FAST_PAD, -(-H // _FAST_PAD) * _FAST_PAD)
     Wp = max(_FAST_PAD, -(-W // _FAST_PAD) * _FAST_PAD)
@@ -201,4 +215,15 @@ def nuset_marker_watershed_fast(
 
     packed = np.asarray(_nuset_fast_pass(jnp.asarray(mask_p), jnp.asarray(mark_p)))
     contour = unpack_mask_1bit(packed, Wp)[:H, :W]
-    return (pred_mask * contour).astype(np.int32)
+    result = (pred_mask * contour).astype(np.int32)
+    if not count_ties:
+        return result
+    perm = np.where(mark_p > 0, int(mark_p.max()) + 1 - mark_p, 0).astype(
+        np.int32
+    )
+    packed2 = np.asarray(
+        _nuset_fast_pass(jnp.asarray(mask_p), jnp.asarray(perm))
+    )
+    contour2 = unpack_mask_1bit(packed2, Wp)[:H, :W]
+    tie_px = int(np.count_nonzero(contour != contour2))
+    return result, tie_px

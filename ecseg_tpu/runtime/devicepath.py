@@ -19,12 +19,30 @@ def fast_watershed() -> bool:
     minimax-flood program (ops/watershed_tpu.nuset_marker_watershed_fast)
     instead of the host priority-flood parity path.  Default OFF -- the fast
     path may differ from the host on exact ridge ties, so it is never chosen
-    implicitly (ECSEG_FAST_WATERSHED=1 enables it)."""
+    implicitly (ECSEG_FAST_WATERSHED=1 enables it;
+    ECSEG_FAST_WATERSHED=check also counts tie-decided pixels per image,
+    see :func:`fast_watershed_check`)."""
     return os.environ.get("ECSEG_FAST_WATERSHED", "").strip().lower() in (
         "1",
         "true",
         "yes",
         "on",
+        "check",
+    )
+
+
+def fast_watershed_check() -> bool:
+    """``ECSEG_FAST_WATERSHED=check``: fast path + per-image tie
+    accounting -- each watershed runs a second flood with permuted marker
+    ids and the pixels whose decision flips are counted in
+    runtime/fallbacks (``fast_watershed_tie_px`` /
+    ``fast_watershed_tie_images``), so the opt-in's order-dependence is
+    measured on the user's own data instead of assumed.  NOTE: this is a
+    lower bound on host divergence (geometry-broken minimax ties are
+    stable under the permutation); the measured host-agreement numbers
+    live in scripts/quantify_watershed_divergence.py + README."""
+    return (
+        os.environ.get("ECSEG_FAST_WATERSHED", "").strip().lower() == "check"
     )
 
 

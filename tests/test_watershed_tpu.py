@@ -170,3 +170,52 @@ def test_mask_and_unreachable_regions(rng):
     assert (out[5:20, 5:25] == 3).all()
     assert (out[25:35, 35:55] == 0).all()  # unreachable stays unlabeled
     assert (out[~mask] == 0).all()
+
+
+def test_count_ties_symmetric_vs_asymmetric():
+    """count_ties measures order-dependence: a mirror-symmetric two-nucleus
+    field has equidistant ridge pixels (ties > 0); the returned result must
+    equal the count_ties=False result bit-for-bit either way."""
+    from ecseg_tpu.ops.watershed_tpu import nuset_marker_watershed_fast
+
+    H = W = 160
+    yy, xx = np.ogrid[:H, :W]
+    # two identical circles with an even-width bridge: exact mirror symmetry
+    # mirror symmetry about x = 80.5: the ridge is an equal-cost PAIR of
+    # columns, so the line side is decided purely by marker id
+    m1 = (yy - 80) ** 2 + (xx - 50) ** 2 <= 30**2
+    m2 = (yy - 80) ** 2 + (xx - 111) ** 2 <= 30**2
+    bridge = (np.abs(yy - 80) <= 6) & (xx >= 50) & (xx <= 111)
+    pred = (m1 | m2 | bridge).astype(np.float32)
+    props = np.array(
+        [[20, 50, 80, 110], [81, 50, 141, 110]], np.float32
+    )
+    scores = np.full(2, 0.97, np.float32)
+
+    plain = nuset_marker_watershed_fast(scores, props, pred, min_score=0.95)
+    out, ties = nuset_marker_watershed_fast(
+        scores, props, pred, min_score=0.95, count_ties=True
+    )
+    assert np.array_equal(out, plain)
+    assert ties > 0  # the symmetric ridge is order-decided
+
+    # no-marker fallback keeps the (result, 0) contract
+    out2, ties2 = nuset_marker_watershed_fast(
+        np.full(2, 0.5, np.float32), props, pred, min_score=0.95,
+        count_ties=True,
+    )
+    assert ties2 == 0
+    assert np.array_equal(out2, pred.astype(np.int32))
+
+
+def test_fast_watershed_check_mode_records(monkeypatch):
+    """ECSEG_FAST_WATERSHED=check engages the fast path AND counts
+    tie-decided pixels via runtime/fallbacks."""
+    from ecseg_tpu.runtime import devicepath, fallbacks
+
+    monkeypatch.setenv("ECSEG_FAST_WATERSHED", "check")
+    assert devicepath.fast_watershed()
+    assert devicepath.fast_watershed_check()
+    monkeypatch.setenv("ECSEG_FAST_WATERSHED", "1")
+    assert devicepath.fast_watershed()
+    assert not devicepath.fast_watershed_check()
