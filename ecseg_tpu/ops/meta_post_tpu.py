@@ -7,8 +7,11 @@ border smoothing, the metaphase-center heuristic, two merge passes, a final
 dilation -- that round 1 ran on host (~1-1.4 s per 2048^2 image,
 ops/meta_post.meta_inference).  Here the same chain runs on device from the
 existing primitives: the Pallas component labeler (ops/cc_pallas) for every
-labeling, scatter-add lookup tables for per-component area/centroid
-reductions, and shift-stack morphology (ops/morphology_tpu).
+labeling, one-sort run-difference segment sums for per-component
+area/centroid reductions (:func:`_compact_roots_sizes`; scatter-adds and
+1M gathers measure 4-10x more expensive on this chip, see
+scripts/profile_meta_post.py), blocked one-hot matvecs for root-flag
+broadcasts, and shift-stack morphology (ops/morphology_tpu).
 
 Exactness contract: the host twin is the parity oracle, and every step is a
 bit-exact reformulation -- including the metaphase-center heuristic's
@@ -194,15 +197,14 @@ MAX_COMP = 4096  # per-class component budget for the size-threshold stage
 
 def _class_size_stats(mask, hw):
     """(flat, compacted roots, per-root pixel counts, valid, true count)
-    for one class mask -- all via the scatter-free eq-matmul reductions."""
+    for one class mask.  Roots AND counts come from the one sort inside
+    :func:`_compact_roots_sizes` (run-boundary differences) -- measured
+    ~10x cheaper than the one-hot-matmul segment-sum pass this replaced
+    (scripts/profile_meta_post.py)."""
     flat = _flat_roots(mask)
     num = _num_roots(flat, hw)
-    roots = _compact_roots(flat, hw, MAX_COMP)
-    valid = roots < hw
-    counts = _eq_segment_sums(
-        flat, roots, jnp.ones((1, flat.shape[0]), jnp.float32)
-    )[0]
-    return flat, roots, jnp.where(valid, counts, 0), valid, num
+    roots, counts = _compact_roots_sizes(flat, hw, MAX_COMP)
+    return flat, roots, counts, roots < hw, num
 
 
 def _size_thresh(img, hw):
@@ -256,52 +258,52 @@ def _compact_roots(flat, hw, max_n: int):
     """Ascending distinct foreground root ids, padded with ``hw`` -- one
     sort + scans + a tiny searchsorted.  Replaces ``jnp.nonzero`` on the
     per-pixel is-root mask, which costs ~4x more on this TPU."""
-    v = jnp.sort(flat)
+    roots, _ = _compact_roots_sizes(flat, hw, max_n)
+    return roots
+
+
+def _compact_roots_sizes(flat, hw, max_n: int, payloads=()):
+    """(roots, counts[, payload sums...]) from ONE sort: the sorted flat
+    array groups each component into a contiguous run, so per-root pixel
+    COUNTS are run-boundary differences and per-root payload SUMS are
+    differences of inclusive int32 cumsums over the co-sorted payloads
+    (``lax.sort`` with ``flat`` as the key) -- no one-hot matmul pass and
+    no scatter.  Exactness: payload values are small non-negatives (hi/lo
+    split coordinates < 2^6..2^5), so 1M-element int32 cumsums stay well
+    below 2^31 and the run differences are exact.  Padded entries (rank >=
+    max_n or the background run) report root ``hw`` and zero counts/sums."""
+    if payloads:
+        sorted_ops = lax.sort((flat,) + tuple(payloads), num_keys=1)
+        v = sorted_ops[0]
+    else:
+        v = jnp.sort(flat)
     first = jnp.concatenate(
         [jnp.ones(1, jnp.int32), (v[1:] != v[:-1]).astype(jnp.int32)]
     )
     ranks = jnp.cumsum(first) - 1  # nondecreasing rank per sorted position
-    idx = jnp.searchsorted(ranks, jnp.arange(max_n, dtype=jnp.int32))
-    roots = v[jnp.clip(idx, 0, hw - 1)]
-    # out-of-range ranks (idx == hw) and the background-sentinel run both
+    # first sorted position of each rank; one extra entry so run k ends at
+    # idx[k+1] (missing ranks and the end of the array both map to n)
+    idx = jnp.searchsorted(ranks, jnp.arange(max_n + 1, dtype=jnp.int32))
+    n = flat.shape[0]
+    roots = v[jnp.clip(idx[:max_n], 0, n - 1)]
+    # out-of-range ranks (idx == n) and the background-sentinel run both
     # map to the hw pad value
-    return jnp.where(jnp.logical_or(idx >= hw, roots >= hw), hw, roots)
+    roots = jnp.where(
+        jnp.logical_or(idx[:max_n] >= n, roots >= hw), hw, roots
+    )
+    valid = roots < hw
+    counts = jnp.where(valid, idx[1:] - idx[:max_n], 0)
+    out = [roots, counts]
+    lo = jnp.clip(idx[:max_n] - 1, 0, n - 1)
+    hi = jnp.clip(idx[1:] - 1, 0, n - 1)
+    for p in sorted_ops[1:] if payloads else ():
+        csum = jnp.cumsum(p.astype(jnp.int32))
+        s = csum[hi] - jnp.where(idx[:max_n] > 0, csum[lo], 0)
+        out.append(jnp.where(valid, s, 0))
+    return tuple(out)
 
 
 _EQ_BLOCK = 8192
-
-
-def _eq_segment_sums(flat, roots, payloads):
-    """Exact per-root segment sums via blocked one-hot matmuls: for each
-    payload row p, sums[p][k] = sum over pixels of payload[p] where
-    flat == roots[k].  ~2.5x cheaper than a 1M scatter-add on this chip and
-    ~4x cheaper than scatter-LUT + per-pixel gather.
-
-    ``payloads``: (P, hw) f32 with values small enough that any
-    _EQ_BLOCK-sized partial sum stays < 2^24 (exact in f32); blocks are
-    accumulated in int32.
-    """
-    max_n = roots.shape[0]
-    pad = (-flat.shape[0]) % _EQ_BLOCK
-    if pad:
-        # padded pixels carry an id matching no root (and zero payload)
-        flat = jnp.concatenate([flat, jnp.full(pad, 2**30, jnp.int32)])
-        payloads = jnp.pad(payloads, ((0, 0), (0, pad)))
-    nblk = flat.shape[0] // _EQ_BLOCK
-    fblocks = flat.reshape(nblk, _EQ_BLOCK)
-    pblocks = payloads.reshape(payloads.shape[0], nblk, _EQ_BLOCK).transpose(
-        1, 0, 2
-    )
-
-    def step(acc, blk):
-        fb, pb = blk
-        eq = (fb[:, None] == roots[None, :]).astype(jnp.float32)
-        return acc + (pb @ eq).astype(jnp.int32), ()
-
-    acc, _ = lax.scan(
-        step, jnp.zeros((payloads.shape[0], max_n), jnp.int32), (fblocks, pblocks)
-    )
-    return acc
 
 
 def _per_pixel_root_flag(flat, roots, flags):
@@ -331,8 +333,10 @@ def _component_sums(mask, hw, max_n: int):
     the compacted root indices.
 
     Coordinate sums are accumulated overflow-free via a hi/lo split
-    (coord = 64*(coord>>6) + (coord&63)) through exact blocked one-hot
-    matmuls, then converted to exact base-2^11 limbs.
+    (coord = 64*(coord>>6) + (coord&63)) as co-sorted int32 cumsum run
+    differences (:func:`_compact_roots_sizes` -- one ``lax.sort`` keyed by
+    the flat roots carries all four payloads), then converted to exact
+    base-2^11 limbs.
     """
     h, w = mask.shape
     flat = _flat_roots(mask)
@@ -342,22 +346,10 @@ def _component_sums(mask, hw, max_n: int):
     idx = jnp.arange(hw, dtype=jnp.int32)
     is_root = jnp.logical_and(flat == idx, flat < hw)
     num = jnp.sum(is_root, dtype=jnp.int32)
-    roots = _compact_roots(flat, hw, max_n)
+    roots, n, sy_hi, sy_lo, sx_hi, sx_lo = _compact_roots_sizes(
+        flat, hw, max_n, payloads=(rows >> 6, rows & 63, cols >> 6, cols & 63)
+    )
     valid = roots < hw
-
-    payloads = jnp.stack(
-        [
-            jnp.ones(hw, jnp.float32),
-            (rows >> 6).astype(jnp.float32),
-            (rows & 63).astype(jnp.float32),
-            (cols >> 6).astype(jnp.float32),
-            (cols & 63).astype(jnp.float32),
-        ]
-    )
-    sums = _eq_segment_sums(flat, roots, payloads)
-    n, sy_hi, sy_lo, sx_hi, sx_lo = (
-        jnp.where(valid, sums[k], 0) for k in range(5)
-    )
 
     return dict(
         sy=_sum_limbs(sy_hi, sy_lo),
@@ -493,11 +485,14 @@ def _metaphase_removal(img, hw):
     ok = jnp.logical_and(c["num"] <= MAX_CHROM, n["num"] <= MAX_NUC)
     ok = jnp.logical_and(ok, jnp.logical_not(jnp.logical_or(near_x, near_y)))
 
-    lut = jnp.zeros(hw + 1, bool).at[
-        jnp.where(remove, n["roots"], hw)
-    ].set(True)
-    lut = lut.at[hw].set(False)
-    img = jnp.where(lut[n["flat"]].reshape(img.shape), 0, img)
+    # per-pixel removal map via the blocked root-flag matvec (MAX_NUC=512
+    # columns, ~0.5 ms) -- the hw-LUT scatter + 1M gather this replaced
+    # measures ~7 ms on this chip (scripts/profile_meta_post.py)
+    img = jnp.where(
+        _per_pixel_root_flag(n["flat"], n["roots"], remove).reshape(img.shape),
+        0,
+        img,
+    )
     return img, ok
 
 
