@@ -52,6 +52,14 @@ _A_CHUNKS = 6  # 24 plain sweeps before switching to scans
 # quarter-turn, i.e. up to ~2*H/4 -- keep the bound far above that so the
 # loop always exits at the true fixpoint, never the cap.
 _B_MAX = 8192
+# Scan-step budget: Hillis-Steele doubling stops at distance 2^(_B_STEPS-1)
+# (window 256).  Mosaic lowers large-distance rolls as full-array data
+# movement whose cost grows with the shift -- a measured 11-step (d<=1024)
+# scan iteration costs ~20 ms where the 8-step form is sub-ms -- and the
+# outer fixpoint loop already iterates to convergence, so capping the
+# window trades (rarely) one more cheap iteration for never paying the
+# catastrophic rolls (scripts/profile_cc_variants.py).
+_B_STEPS = 8
 
 
 def _interpret() -> bool:
@@ -59,20 +67,25 @@ def _interpret() -> bool:
 
 
 # Empirical compile envelope of the VMEM-resident fixpoint kernels on this
-# attachment: the 1032x1152-padded (1024^2-image) variants compile in
-# minutes and run in ~5 ms; the 2056x2176-padded (2048^2) variants hold
-# ~6-8 map-sized temporaries live (>100 MB) and crash the Mosaic
-# remote-compile service.  Above this per-map byte gate every entry point
-# falls back to the XLA formulations (ops/cc_tpu + scatter marks), which
-# compile fine at any geometry.
+# attachment.  _PALLAS_MAX_MAP_BYTES is the SINGLE-STRIP scan envelope (the
+# 1032x1152-padded 1024^2-image variants compile and run with full-map scan
+# temporaries); larger maps run the B-phase scans strip-blocked
+# (:func:`_strip_slices`) so per-strip temporaries stay inside it --
+# full-map scan temporaries at 2056x2176 (2048^2 images) overflow the
+# 128 MB VMEM as register-allocator spill slots at compile time.
+# _PALLAS_MAX_TOTAL_BYTES bounds the map size itself (state + input + sweep
+# temporaries are full-map even when scans are blocked); above it every
+# entry point falls back to the XLA formulations (ops/cc_tpu + scatter
+# marks), which compile at any geometry.
 _PALLAS_MAX_MAP_BYTES = 6 * 1024 * 1024
+_PALLAS_MAX_TOTAL_BYTES = 20 * 1024 * 1024
 
 
 def _fits_vmem(h: int, w: int) -> bool:
     if _interpret():
         return True  # interpret mode has no VMEM; keep one code path in CI
     hp, wp = _padded_dims(h, w)
-    ok = hp * wp * 4 <= _PALLAS_MAX_MAP_BYTES
+    ok = hp * wp * 4 <= _PALLAS_MAX_TOTAL_BYTES
     if not ok:
         # gate hits are recorded at TRACE time (once per new geometry per
         # process, since the callers are jitted) -- the signal is "this
@@ -110,37 +123,73 @@ def _sweep_cross(lab, big):
     return jnp.where(lab == big, big, n)
 
 
-def _segscan_axis(lab, big, axis, size, border, idx_along):
+def _strip_slices(lab, axis, n_strips):
+    """Split ``lab`` into ``n_strips`` tile-aligned slices along the
+    NON-scan axis (scan-axis geometry is untouched, so run semantics and
+    the sentinel border behave exactly as unblocked).  Returns a list of
+    (2D slice) values; the caller concatenates the processed strips back.
+    Blocking exists purely to bound Mosaic's live VMEM: segscan
+    temporaries shrink from full-map to strip-sized, which is what lets
+    2048^2-class maps compile (full-map temporaries overflow the 128 MB
+    VMEM as register-allocator spill slots)."""
+    other = 1 - axis
+    n = lab.shape[other]
+    tile = _COL_PAD if other == 1 else _ROW_PAD
+    per = -(-n // (n_strips * tile)) * tile
+    out = []
+    s = 0
+    while s < n:
+        e = min(s + per, n)
+        out.append(lab[s:e, :] if other == 0 else lab[:, s:e])
+        s = e
+    return out
+
+
+def _segscan_axis(lab, big, axis, size, border, n_strips: int = 1):
     """Segmented min-scan along ``axis`` in both directions: each foreground
-    pixel ends with the min label over its whole background-delimited run.
+    pixel ends with the min over the last ``2**_B_STEPS`` labels of its
+    background-delimited run (the enclosing fixpoint loop extends this to
+    the whole run; see the _B_STEPS note for why the window is capped).
     Hillis-Steele: log-depth, doubling shifts.  For shifts smaller than the
     sentinel border the wrap is self-masking (border is background); larger
-    shifts are masked with the coordinate iota.  The segment flag ``f`` is
-    carried as int32 (Mosaic rejects i1 vector rolls/bitcasts)."""
-    nsteps = max(1, int(np.ceil(np.log2(size))))
+    shifts are masked with the coordinate iota (generated per strip -- the
+    scan-axis coordinate is strip-invariant).  The segment flag ``f`` is
+    carried as int32 (Mosaic rejects i1 vector rolls/bitcasts).
+    ``n_strips`` > 1 processes tile-aligned blocks of the non-scan axis
+    sequentially to bound live VMEM (see :func:`_strip_slices`)."""
+    nsteps = min(max(1, int(np.ceil(np.log2(size)))), _B_STEPS)
 
-    def one_dir(v, f, sgn):
-        for s in range(nsteps):
-            d = 1 << s
-            vs = jnp.roll(v, sgn * d, axis)
-            fs = jnp.roll(f, sgn * d, axis)
-            if d > border:
-                # wrapped lanes carry real data; treat them as segment
-                # boundaries explicitly
-                if sgn > 0:
-                    bad = idx_along < d
-                else:
-                    bad = idx_along >= size - d
-                fs = jnp.where(bad, 1, fs)
-                vs = jnp.where(bad, big, vs)
-            v = jnp.where(f != 0, v, jnp.minimum(v, vs))
-            f = jnp.maximum(f, fs)
-        return v
+    def scan_strip(lab):
+        idx_along = lax.broadcasted_iota(jnp.int32, lab.shape, axis)
 
-    f0 = jnp.where(lab == big, 1, 0).astype(jnp.int32)
-    fwd = one_dir(lab, f0, +1)
-    bwd = one_dir(lab, f0, -1)
-    return jnp.where(lab == big, big, jnp.minimum(fwd, bwd))
+        def one_dir(v, f, sgn):
+            for s in range(nsteps):
+                d = 1 << s
+                vs = jnp.roll(v, sgn * d, axis)
+                fs = jnp.roll(f, sgn * d, axis)
+                if d > border:
+                    # wrapped lanes carry real data; treat them as segment
+                    # boundaries explicitly
+                    if sgn > 0:
+                        bad = idx_along < d
+                    else:
+                        bad = idx_along >= size - d
+                    fs = jnp.where(bad, 1, fs)
+                    vs = jnp.where(bad, big, vs)
+                v = jnp.where(f != 0, v, jnp.minimum(v, vs))
+                f = jnp.maximum(f, fs)
+            return v
+
+        f0 = jnp.where(lab == big, 1, 0).astype(jnp.int32)
+        fwd = one_dir(lab, f0, +1)
+        bwd = one_dir(lab, f0, -1)
+        return jnp.where(lab == big, big, jnp.minimum(fwd, bwd))
+
+    if n_strips <= 1:
+        return scan_strip(lab)
+    return jnp.concatenate(
+        [scan_strip(s) for s in _strip_slices(lab, axis, n_strips)], 1 - axis
+    )
 
 
 def _cc_kernel_body(mask_ref, h, w, connectivity, want_labels):
@@ -150,15 +199,30 @@ def _cc_kernel_body(mask_ref, h, w, connectivity, want_labels):
     return _cc_fixpoint(mp, hp, wp, h, w, connectivity, want_labels)
 
 
-def _cc_fixpoint(mp, hp, wp, h, w, connectivity, want_labels):
-    """Label-propagation fixpoint over an already-padded (hp, wp) int32
-    foreground map; returns (labels, count, px) values."""
-    big = jnp.int32(hp * wp)
+def _n_strips(hp: int, wp: int) -> int:
+    """Segscan strip count: 1 (unblocked) within the single-strip VMEM
+    envelope, else enough tile-aligned strips to keep per-strip scan
+    temporaries ~the 1024^2-class size that is known to compile."""
+    return max(1, -(-(hp * wp * 4) // _PALLAS_MAX_MAP_BYTES))
 
+
+def _flat_iota(hp, wp):
     rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
     cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    idx = rows * wp + cols
-    lab0 = jnp.where(mp != 0, idx, big)
+    return rows * wp + cols
+
+
+def _cc_fixpoint(mp, hp, wp, h, w, connectivity, want_labels):
+    """Label-propagation fixpoint over an already-padded (hp, wp) int32
+    foreground map; returns (labels, count, px) values.  The flat-index
+    iota is regenerated at each use instead of kept live across the loops,
+    and B-phase scans are strip-blocked on large maps -- both purely VMEM
+    liveness measures (2048^2-class maps otherwise spill past the 128 MB
+    VMEM at compile time)."""
+    big = jnp.int32(hp * wp)
+    strips = _n_strips(hp, wp)
+
+    lab0 = jnp.where(mp != 0, _flat_iota(hp, wp), big)
 
     sweep = _sweep3x3 if connectivity == 2 else _sweep_cross
 
@@ -182,8 +246,8 @@ def _cc_fixpoint(mp, hp, wp, h, w, connectivity, want_labels):
 
     def b_step(state):
         lab, _, it = state
-        new = _segscan_axis(lab, big, 1, wp, _COL_PAD, cols)
-        new = _segscan_axis(new, big, 0, hp, _ROW_PAD, rows)
+        new = _segscan_axis(lab, big, 1, wp, _COL_PAD, strips)
+        new = _segscan_axis(new, big, 0, hp, _ROW_PAD, strips)
         if connectivity == 2:
             new = sweep(new, big)
         return new, delta(new, lab), it + 1
@@ -195,7 +259,7 @@ def _cc_fixpoint(mp, hp, wp, h, w, connectivity, want_labels):
     lab, _, _ = lax.while_loop(b_cond, b_step, (lab, changed, jnp.int32(0)))
 
     # roots: lab == own index (background has lab == big > any idx)
-    count = jnp.sum(jnp.where(lab == idx, 1, 0), dtype=jnp.int32)
+    count = jnp.sum(jnp.where(lab == _flat_iota(hp, wp), 1, 0), dtype=jnp.int32)
     px = jnp.sum(jnp.where(lab != big, 1, 0), dtype=jnp.int32)
     labels = None
     if want_labels:
@@ -328,32 +392,48 @@ def count_cc_from_patches(
     return count[0, 0], px[0, 0]
 
 
-def _segscan_max_axis(r, mp, axis, size, border, idx_along):
+def _segscan_max_axis(r, mp, axis, size, border, n_strips: int = 1):
     """Segmented MAX-scan of ``r`` along ``axis`` in both directions over
-    runs of traversable pixels (mp != 0); same Hillis-Steele structure as
-    :func:`_segscan_axis`."""
-    nsteps = max(1, int(np.ceil(np.log2(size))))
+    runs of traversable pixels (mp != 0); same Hillis-Steele structure,
+    _B_STEPS window cap, and strip blocking as :func:`_segscan_axis`."""
+    nsteps = min(max(1, int(np.ceil(np.log2(size)))), _B_STEPS)
 
-    def one_dir(v, f, sgn):
-        for s in range(nsteps):
-            d = 1 << s
-            vs = jnp.roll(v, sgn * d, axis)
-            fs = jnp.roll(f, sgn * d, axis)
-            if d > border:
-                if sgn > 0:
-                    bad = idx_along < d
-                else:
-                    bad = idx_along >= size - d
-                fs = jnp.where(bad, 1, fs)
-                vs = jnp.where(bad, 0, vs)
-            v = jnp.where(f != 0, v, jnp.maximum(v, vs))
-            f = jnp.maximum(f, fs)
-        return v
+    def scan_strip(r, mp):
+        idx_along = lax.broadcasted_iota(jnp.int32, r.shape, axis)
 
-    f0 = jnp.where(mp != 0, 0, 1).astype(jnp.int32)
-    fwd = one_dir(r, f0, +1)
-    bwd = one_dir(r, f0, -1)
-    return jnp.where(mp != 0, jnp.maximum(fwd, bwd), 0)
+        def one_dir(v, f, sgn):
+            for s in range(nsteps):
+                d = 1 << s
+                vs = jnp.roll(v, sgn * d, axis)
+                fs = jnp.roll(f, sgn * d, axis)
+                if d > border:
+                    if sgn > 0:
+                        bad = idx_along < d
+                    else:
+                        bad = idx_along >= size - d
+                    fs = jnp.where(bad, 1, fs)
+                    vs = jnp.where(bad, 0, vs)
+                v = jnp.where(f != 0, v, jnp.maximum(v, vs))
+                f = jnp.maximum(f, fs)
+            return v
+
+        f0 = jnp.where(mp != 0, 0, 1).astype(jnp.int32)
+        fwd = one_dir(r, f0, +1)
+        bwd = one_dir(r, f0, -1)
+        return jnp.where(mp != 0, jnp.maximum(fwd, bwd), 0)
+
+    if n_strips <= 1:
+        return scan_strip(r, mp)
+    return jnp.concatenate(
+        [
+            scan_strip(rs, ms)
+            for rs, ms in zip(
+                _strip_slices(r, axis, n_strips),
+                _strip_slices(mp, axis, n_strips),
+            )
+        ],
+        1 - axis,
+    )
 
 
 def _flood_kernel(h, w, connectivity, seeded):
@@ -363,19 +443,21 @@ def _flood_kernel(h, w, connectivity, seeded):
     (``seeded=True``, e.g. merge_comp's touches-class flood)."""
     hp, wp = _padded_dims(h, w)
 
+    strips = _n_strips(hp, wp)
+
     def kernel(*refs):
         if seeded:
             mask_ref, seed_ref, out_ref = refs
         else:
             mask_ref, out_ref = refs
         mp = jnp.pad(mask_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w)))
-        rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-        cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
         if seeded:
             seeds = jnp.pad(
                 seed_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w))
             ) != 0
         else:
+            rows = lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+            cols = lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
             seeds = (
                 (rows == 0) | (rows == h - 1) | (cols == 0) | (cols == w - 1)
             )
@@ -412,8 +494,8 @@ def _flood_kernel(h, w, connectivity, seeded):
 
         def b_step(state):
             r, _, it = state
-            new = _segscan_max_axis(r, mp, 1, wp, _COL_PAD, cols)
-            new = _segscan_max_axis(new, mp, 0, hp, _ROW_PAD, rows)
+            new = _segscan_max_axis(r, mp, 1, wp, _COL_PAD, strips)
+            new = _segscan_max_axis(new, mp, 0, hp, _ROW_PAD, strips)
             new = sweep(new)
             return new, delta(new, r), it + 1
 

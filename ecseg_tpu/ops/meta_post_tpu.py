@@ -142,10 +142,6 @@ def _flat_roots(mask):
     return jnp.where(lab < 0, h * w, lab)
 
 
-def _size_lut(flat, hw):
-    return jnp.zeros(hw + 1, jnp.int32).at[flat].add(1)
-
-
 def _num_roots(flat, hw):
     idx = jnp.arange(hw, dtype=jnp.int32)
     return jnp.sum(jnp.logical_and(flat == idx, flat < hw), dtype=jnp.int32)
@@ -202,9 +198,27 @@ def _class_size_stats(mask, hw):
     ~10x cheaper than the one-hot-matmul segment-sum pass this replaced
     (scripts/profile_meta_post.py)."""
     flat = _flat_roots(mask)
-    num = _num_roots(flat, hw)
-    roots, counts = _compact_roots_sizes(flat, hw, MAX_COMP)
+    roots, counts, num = _compact_roots_sizes(flat, hw, MAX_COMP)
     return flat, roots, counts, roots < hw, num
+
+
+def _flagged_components(mask, roots, flags, hw):
+    """Boolean map of the pixels whose component root is flagged: scatter
+    the <= max_n flags onto the root PIXELS (tiny scatter), then flood
+    through the class mask -- the flood reaches exactly the flagged
+    components.  ~5x cheaper than the 4096-column root-flag matvec at the
+    size_thresh budgets (scripts/profile_meta_post.py); the matvec form
+    (:func:`_per_pixel_root_flag`) stays in use where the root budget is
+    small (metaphase removal, 512)."""
+    from .cc_pallas import flood_from_seeds_pallas
+
+    seeds = (
+        jnp.zeros(hw + 1, jnp.int32)
+        .at[jnp.where(flags, roots, hw)]
+        .set(1)[:hw]
+        .reshape(mask.shape)
+    )
+    return flood_from_seeds_pallas(mask, seeds != 0, connectivity=2)
 
 
 def _size_thresh(img, hw):
@@ -216,7 +230,6 @@ def _size_thresh(img, hw):
     nuc = img == 1
     chrom = img == 2
     ec = img == 3
-    shape = img.shape
 
     def mean(mask, num):
         total = jnp.sum(mask, dtype=jnp.int32).astype(jnp.float32)
@@ -226,11 +239,7 @@ def _size_thresh(img, hw):
     n_flat, n_roots, n_counts, n_valid, n_num = _class_size_stats(nuc, hw)
     avg_chrom = mean(chrom, c_num)
     small_nuc = jnp.logical_and(n_valid, n_counts < avg_chrom)  # NaN -> False
-    img = jnp.where(
-        _per_pixel_root_flag(n_flat, n_roots, small_nuc).reshape(shape),
-        0,
-        img,
-    )
+    img = jnp.where(_flagged_components(nuc, n_roots, small_nuc, hw), 0, img)
 
     # chromosome pixels are untouched by the nuclei pass, so the reference's
     # re-labeling (image_tools.py:50) yields the same components
@@ -238,18 +247,12 @@ def _size_thresh(img, hw):
     avg_ec = mean(ec, e_num)
     conv_chrom = jnp.logical_and(c_valid, c_counts < avg_ec)
     img = jnp.where(
-        _per_pixel_root_flag(c_flat, c_roots, conv_chrom).reshape(shape),
-        3,
-        img,
+        _flagged_components(chrom, c_roots, conv_chrom, hw), 3, img
     )
 
     # stale list: sizes from the PRE-conversion ec components
     small_ec = jnp.logical_and(e_valid, e_counts < EC_SIZE_THRESHOLD)
-    img = jnp.where(
-        _per_pixel_root_flag(e_flat, e_roots, small_ec).reshape(shape),
-        0,
-        img,
-    )
+    img = jnp.where(_flagged_components(ec, e_roots, small_ec, hw), 0, img)
     ok = (c_num <= MAX_COMP) & (n_num <= MAX_COMP) & (e_num <= MAX_COMP)
     return img, ok
 
@@ -258,7 +261,7 @@ def _compact_roots(flat, hw, max_n: int):
     """Ascending distinct foreground root ids, padded with ``hw`` -- one
     sort + scans + a tiny searchsorted.  Replaces ``jnp.nonzero`` on the
     per-pixel is-root mask, which costs ~4x more on this TPU."""
-    roots, _ = _compact_roots_sizes(flat, hw, max_n)
+    roots, _, _ = _compact_roots_sizes(flat, hw, max_n)
     return roots
 
 
@@ -281,6 +284,9 @@ def _compact_roots_sizes(flat, hw, max_n: int, payloads=()):
         [jnp.ones(1, jnp.int32), (v[1:] != v[:-1]).astype(jnp.int32)]
     )
     ranks = jnp.cumsum(first) - 1  # nondecreasing rank per sorted position
+    # true component count (any magnitude, for the budget-overflow gates):
+    # distinct values minus the background run, which sorts last
+    num = ranks[-1] + 1 - (v[-1] >= hw).astype(jnp.int32)
     # first sorted position of each rank; one extra entry so run k ends at
     # idx[k+1] (missing ranks and the end of the array both map to n)
     idx = jnp.searchsorted(ranks, jnp.arange(max_n + 1, dtype=jnp.int32))
@@ -293,7 +299,7 @@ def _compact_roots_sizes(flat, hw, max_n: int, payloads=()):
     )
     valid = roots < hw
     counts = jnp.where(valid, idx[1:] - idx[:max_n], 0)
-    out = [roots, counts]
+    out = [roots, counts, num]
     lo = jnp.clip(idx[:max_n] - 1, 0, n - 1)
     hi = jnp.clip(idx[1:] - 1, 0, n - 1)
     for p in sorted_ops[1:] if payloads else ():
@@ -343,10 +349,7 @@ def _component_sums(mask, hw, max_n: int):
     rows = jnp.arange(hw, dtype=jnp.int32) // w
     cols = jnp.arange(hw, dtype=jnp.int32) % w
 
-    idx = jnp.arange(hw, dtype=jnp.int32)
-    is_root = jnp.logical_and(flat == idx, flat < hw)
-    num = jnp.sum(is_root, dtype=jnp.int32)
-    roots, n, sy_hi, sy_lo, sx_hi, sx_lo = _compact_roots_sizes(
+    roots, n, num, sy_hi, sy_lo, sx_hi, sx_lo = _compact_roots_sizes(
         flat, hw, max_n, payloads=(rows >> 6, rows & 63, cols >> 6, cols & 63)
     )
     valid = roots < hw

@@ -176,3 +176,54 @@ def test_vmem_gate_fallbacks_match_pallas(rng, monkeypatch):
     assert got_cnt == want_cnt
     np.testing.assert_array_equal(got_fb, want_fb)
     np.testing.assert_array_equal(got_fs, want_fs)
+
+
+def test_strip_blocked_scans_match_unblocked(rng, monkeypatch):
+    """2048^2-class maps run the B-phase scans strip-blocked to bound live
+    VMEM (cc_pallas._strip_slices).  Forcing multi-strip scans on a small
+    map must be bit-identical to the unblocked path -- including snake
+    masks whose long runs the scans (not the plain sweeps) resolve."""
+    import jax
+    import jax.numpy as jnp
+
+    from ecseg_tpu.ops import cc_pallas
+
+    # snake: one serpentine component + blobs + noise
+    m = np.zeros((160, 256), bool)
+    for i, r in enumerate(range(2, 150, 8)):
+        m[r, 4:-4] = True
+        if i % 2 == 0:
+            m[r : r + 8, -5] = True
+        else:
+            m[r : r + 8, 4] = True
+    m |= rng.random((160, 256)) < 0.15
+    seeds = rng.random((160, 256)) < 0.02
+
+    args = [(m,), (m,)]
+    want = {
+        "lab": np.asarray(cc_pallas.label_pallas(jnp.asarray(m))),
+        "cnt": tuple(int(v) for v in cc_pallas.count_cc_pallas(jnp.asarray(m))),
+        "fb": np.asarray(cc_pallas.flood_from_border_pallas(jnp.asarray(m))),
+        "fs": np.asarray(
+            cc_pallas.flood_from_seeds_pallas(jnp.asarray(m), jnp.asarray(seeds))
+        ),
+    }
+
+    # force the strip path: per-strip envelope smaller than the map
+    monkeypatch.setattr(cc_pallas, "_PALLAS_MAX_MAP_BYTES", 32 * 1024)
+    jax.clear_caches()
+    assert cc_pallas._n_strips(*cc_pallas._padded_dims(160, 256)) > 1
+    got = {
+        "lab": np.asarray(cc_pallas.label_pallas(jnp.asarray(m))),
+        "cnt": tuple(int(v) for v in cc_pallas.count_cc_pallas(jnp.asarray(m))),
+        "fb": np.asarray(cc_pallas.flood_from_border_pallas(jnp.asarray(m))),
+        "fs": np.asarray(
+            cc_pallas.flood_from_seeds_pallas(jnp.asarray(m), jnp.asarray(seeds))
+        ),
+    }
+    jax.clear_caches()
+
+    np.testing.assert_array_equal(got["lab"], want["lab"])
+    assert got["cnt"] == want["cnt"]
+    np.testing.assert_array_equal(got["fb"], want["fb"])
+    np.testing.assert_array_equal(got["fs"], want["fs"])
