@@ -332,26 +332,46 @@ def _per_pixel_root_flag(flat, roots, flags):
     return out.reshape(-1)[:n]
 
 
+def _needs_hilo_split(hw: int, h: int, w: int) -> bool:
+    """True when a whole-map int32 cumsum of raw coordinates could
+    overflow, forcing the hi/lo accumulation split (geometries beyond
+    ~1290^2)."""
+    return hw * max(h - 1, w - 1) >= 2**31
+
+
 def _component_sums(mask, hw, max_n: int):
     """Compacted per-component exact coordinate sums for up to ``max_n``
     8-connected components: returns dict with 4-limb Sy/Sx, 2-limb N, a
     validity mask, the true component count, the per-pixel flat roots, and
     the compacted root indices.
 
-    Coordinate sums are accumulated overflow-free via a hi/lo split
-    (coord = 64*(coord>>6) + (coord&63)) as co-sorted int32 cumsum run
-    differences (:func:`_compact_roots_sizes` -- one ``lax.sort`` keyed by
-    the flat roots carries all four payloads), then converted to exact
-    base-2^11 limbs.
+    Coordinate sums come from co-sorted int32 cumsum run differences
+    (:func:`_compact_roots_sizes` -- one ``lax.sort`` keyed by the flat
+    roots carries the payloads), then convert to exact base-2^11 limbs.
+    When the grand total ``hw * max_coord`` fits int32 (any 1024^2-class
+    map) the coordinates ride the sort directly (3-operand sort) and the
+    downstream hi/lo pair is just the exact sum split afterwards -- only
+    larger geometries need the overflow-free accumulation split
+    (coord = 64*(coord>>6) + (coord&63), 5-operand sort).  All consumers
+    read the pair solely as 64*hi + lo, so any split of the exact sum is
+    equivalent.
     """
     h, w = mask.shape
     flat = _flat_roots(mask)
     rows = jnp.arange(hw, dtype=jnp.int32) // w
     cols = jnp.arange(hw, dtype=jnp.int32) % w
 
-    roots, n, num, sy_hi, sy_lo, sx_hi, sx_lo = _compact_roots_sizes(
-        flat, hw, max_n, payloads=(rows >> 6, rows & 63, cols >> 6, cols & 63)
-    )
+    if not _needs_hilo_split(hw, h, w):
+        roots, n, num, sy, sx = _compact_roots_sizes(
+            flat, hw, max_n, payloads=(rows, cols)
+        )
+        sy_hi, sy_lo = sy >> 6, sy & 63
+        sx_hi, sx_lo = sx >> 6, sx & 63
+    else:
+        roots, n, num, sy_hi, sy_lo, sx_hi, sx_lo = _compact_roots_sizes(
+            flat, hw, max_n,
+            payloads=(rows >> 6, rows & 63, cols >> 6, cols & 63),
+        )
     valid = roots < hw
 
     return dict(

@@ -111,3 +111,32 @@ def test_count_roots_matches_count_cc(rng):
         assert int(count_roots_tpu(jnp.asarray(m))) == count_cc(m)[0]
     assert int(count_roots_tpu(jnp.zeros((40, 40), bool))) == 0
     assert int(count_roots_tpu(jnp.ones((40, 40), bool))) == 1
+
+
+def test_hilo_split_branch_matches_direct_sums(rng, monkeypatch):
+    """_component_sums carries raw coordinates through the sort on small
+    maps and the overflow-free hi/lo split on large ones
+    (_needs_hilo_split).  Forcing the split branch on a small map must
+    produce identical limbs, hi/lo pairs, and downstream meta_inference
+    output."""
+    import jax.numpy as jnp
+
+    from ecseg_tpu.ops import meta_post_tpu as mp
+
+    m = rng.random((96, 128)) < 0.25
+    hw = m.size
+    direct = mp._component_sums(jnp.asarray(m), hw, 64)
+
+    monkeypatch.setattr(mp, "_needs_hilo_split", lambda hw, h, w: True)
+    split = mp._component_sums(jnp.asarray(m), hw, 64)
+
+    for k in ("nraw", "num", "valid", "flat", "roots"):
+        np.testing.assert_array_equal(np.asarray(direct[k]), np.asarray(split[k]))
+    for k in ("sy", "sx", "n"):
+        for a, b in zip(direct[k], split[k]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # hi/lo pairs may split differently but must agree as 64*hi + lo
+    for k in ("sy_hilo", "sx_hilo"):
+        da = 64 * np.asarray(direct[k][0]) + np.asarray(direct[k][1])
+        db = 64 * np.asarray(split[k][0]) + np.asarray(split[k][1])
+        np.testing.assert_array_equal(da, db)
