@@ -73,12 +73,16 @@ def _interpret() -> bool:
 # (:func:`_strip_slices`) so per-strip temporaries stay inside it --
 # full-map scan temporaries at 2056x2176 (2048^2 images) overflow the
 # 128 MB VMEM as register-allocator spill slots at compile time.
-# _PALLAS_MAX_TOTAL_BYTES bounds the map size itself (state + input + sweep
-# temporaries are full-map even when scans are blocked); above it every
-# entry point falls back to the XLA formulations (ops/cc_tpu + scatter
-# marks), which compile at any geometry.
+# _PALLAS_MAX_TOTAL_BYTES bounds the map size itself: state + input + sweep
+# temporaries are full-map even when scans are blocked, and a 2048^2
+# (2056x2176-padded) flood kernel measures 212 MB scoped VMEM at compile
+# time after a 76-minute Mosaic register-allocation grind -- so the whole-
+# map-in-VMEM form is gated at the 1024^2 class and larger maps fall back
+# to the XLA formulations (ops/cc_tpu + scatter marks), which compile at
+# any geometry.  (The strip-blocked scans alone are NOT sufficient for
+# 2048^2: measured negative result, r3.)
 _PALLAS_MAX_MAP_BYTES = 6 * 1024 * 1024
-_PALLAS_MAX_TOTAL_BYTES = 20 * 1024 * 1024
+_PALLAS_MAX_TOTAL_BYTES = 6 * 1024 * 1024
 
 
 def _fits_vmem(h: int, w: int) -> bool:

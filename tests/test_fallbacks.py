@@ -60,16 +60,13 @@ def test_pallas_vmem_gate_records(monkeypatch):
     from ecseg_tpu.ops import cc_pallas
 
     monkeypatch.setattr(cc_pallas, "_interpret", lambda: False)
-    # beyond the overall envelope (2048^2-class maps are now INSIDE it via
-    # strip-blocked scans; the XLA fallback starts past ~20 MB maps)
-    h, w = 2560, 2560  # padded map > _PALLAS_MAX_TOTAL_BYTES
+    h, w = 2048, 2048  # padded map > _PALLAS_MAX_TOTAL_BYTES
     assert not cc_pallas._fits_vmem(h, w)
     assert fallbacks.counts().get(fallbacks.PALLAS_VMEM, 0) >= 1
-    # within the envelope: no new records -- incl. the 2048^2 microscopy
-    # geometry, which the strip-blocked scans keep on the Pallas path
+    # within the envelope: no new records
     fallbacks.reset()
     assert cc_pallas._fits_vmem(256, 256)
-    assert cc_pallas._fits_vmem(2048, 2048)
+    assert cc_pallas._fits_vmem(1024, 1024)
     assert fallbacks.counts() == {}
 
 
