@@ -191,15 +191,6 @@ def _fill_holes_class(img, class_id: int):
 MAX_COMP = 4096  # per-class component budget for the size-threshold stage
 
 
-def _class_size_stats(mask, hw):
-    """(flat, compacted roots, per-root pixel counts, valid, true count)
-    for one class mask.  Roots AND counts come from the one sort inside
-    :func:`_compact_roots_sizes` (run-boundary differences) -- measured
-    ~10x cheaper than the one-hot-matmul segment-sum pass this replaced
-    (scripts/profile_meta_post.py)."""
-    flat = _flat_roots(mask)
-    roots, counts, num = _compact_roots_sizes(flat, hw, MAX_COMP)
-    return flat, roots, counts, roots < hw, num
 
 
 def _flagged_components(mask, roots, flags, hw):
@@ -226,34 +217,67 @@ def _size_thresh(img, hw):
     smaller than the mean chromosome -> background, chromosomes smaller
     than the mean ecDNA -> ecDNA, then the STALE pre-conversion ecDNA list
     below EC_SIZE_THRESHOLD -> background.  Returns (img, ok); ok False on
-    per-class component-budget overflow (host oracle takes over)."""
+    per-class component-budget overflow (host oracle takes over).
+
+    ONE sort chain serves all three classes: the per-class flat roots are
+    offset into disjoint ranges (nuc +0, chrom +hw, ec +2hw -- classes are
+    pixel-disjoint, so each pixel carries at most one), compacted together
+    with budget 3*MAX_COMP, and each root's class recovered as
+    ``root // hw``.  Budget-gate equivalence with the per-class form: when
+    the total distinct count fits 3*MAX_COMP every root is present and the
+    per-class counts are exact; when it does not, some class necessarily
+    exceeds MAX_COMP (pigeonhole over equal budgets), so ``ok`` is False
+    either way.  The three applications commute (their source pixel sets
+    are disjoint), matching the reference's sequential order."""
     nuc = img == 1
     chrom = img == 2
     ec = img == 3
 
-    def mean(mask, num):
-        total = jnp.sum(mask, dtype=jnp.int32).astype(jnp.float32)
-        return total / num.astype(jnp.float32)  # 0/0 -> NaN (np.mean([]))
-
-    c_flat, c_roots, c_counts, c_valid, c_num = _class_size_stats(chrom, hw)
-    n_flat, n_roots, n_counts, n_valid, n_num = _class_size_stats(nuc, hw)
-    avg_chrom = mean(chrom, c_num)
-    small_nuc = jnp.logical_and(n_valid, n_counts < avg_chrom)  # NaN -> False
-    img = jnp.where(_flagged_components(nuc, n_roots, small_nuc, hw), 0, img)
-
-    # chromosome pixels are untouched by the nuclei pass, so the reference's
-    # re-labeling (image_tools.py:50) yields the same components
-    e_flat, e_roots, e_counts, e_valid, e_num = _class_size_stats(ec, hw)
-    avg_ec = mean(ec, e_num)
-    conv_chrom = jnp.logical_and(c_valid, c_counts < avg_ec)
-    img = jnp.where(
-        _flagged_components(chrom, c_roots, conv_chrom, hw), 3, img
+    n_flat = _flat_roots(nuc)
+    c_flat = _flat_roots(chrom)
+    e_flat = _flat_roots(ec)
+    # disjoint classes: at most one of the three is a foreground root id
+    comb = jnp.where(
+        n_flat < hw,
+        n_flat,
+        jnp.where(
+            c_flat < hw,
+            c_flat + hw,
+            jnp.where(e_flat < hw, e_flat + 2 * hw, 3 * hw),
+        ),
     )
+    roots, counts, num = _compact_roots_sizes(comb, 3 * hw, 3 * MAX_COMP)
+    valid = roots < 3 * hw
+    rcls = jnp.where(valid, roots // hw, 3)  # 0=nuc, 1=chrom, 2=ec
+    root_px = roots % hw
 
-    # stale list: sizes from the PRE-conversion ec components
-    small_ec = jnp.logical_and(e_valid, e_counts < EC_SIZE_THRESHOLD)
-    img = jnp.where(_flagged_components(ec, e_roots, small_ec, hw), 0, img)
-    ok = (c_num <= MAX_COMP) & (n_num <= MAX_COMP) & (e_num <= MAX_COMP)
+    num_n = jnp.sum(rcls == 0, dtype=jnp.int32)
+    num_c = jnp.sum(rcls == 1, dtype=jnp.int32)
+    num_e = jnp.sum(rcls == 2, dtype=jnp.int32)
+
+    def mean(mask, n):
+        total = jnp.sum(mask, dtype=jnp.int32).astype(jnp.float32)
+        return total / n.astype(jnp.float32)  # 0/0 -> NaN (np.mean([]))
+
+    avg_chrom = mean(chrom, num_c)
+    avg_ec = mean(ec, num_e)
+    cf = counts.astype(jnp.float32)
+    small_nuc = (rcls == 0) & (cf < avg_chrom)  # NaN -> False
+    conv_chrom = (rcls == 1) & (cf < avg_ec)
+    # stale list quirk: ec sizes are from the PRE-conversion components,
+    # which is exactly what this single labeling of the input provides
+    small_ec = (rcls == 2) & (counts < EC_SIZE_THRESHOLD)
+
+    img = jnp.where(_flagged_components(nuc, root_px, small_nuc, hw), 0, img)
+    img = jnp.where(_flagged_components(chrom, root_px, conv_chrom, hw), 3, img)
+    img = jnp.where(_flagged_components(ec, root_px, small_ec, hw), 0, img)
+
+    ok = (
+        (num <= 3 * MAX_COMP)
+        & (num_n <= MAX_COMP)
+        & (num_c <= MAX_COMP)
+        & (num_e <= MAX_COMP)
+    )
     return img, ok
 
 
@@ -388,6 +412,91 @@ def _component_sums(mask, hw, max_n: int):
     )
 
 
+def _pack_sums(roots, n, sy_hi, sy_lo, sx_hi, sx_lo, valid, num, flat):
+    z = lambda x: jnp.where(valid, x, 0)
+    n, sy_hi, sy_lo, sx_hi, sx_lo = map(z, (n, sy_hi, sy_lo, sx_hi, sx_lo))
+    return dict(
+        sy=_sum_limbs(sy_hi, sy_lo),
+        sx=_sum_limbs(sx_hi, sx_lo),
+        sy_hilo=(sy_hi, sy_lo),
+        sx_hilo=(sx_hi, sx_lo),
+        n=_limbs(n, 2),
+        nraw=n,
+        valid=valid,
+        num=num,
+        flat=flat,
+        roots=roots,
+    )
+
+
+def _component_sums_pair(img, hw):
+    """Per-component exact coordinate sums for the chromosome (img == 2)
+    and nucleus (img == 1) classes through ONE shared sort: the two flat
+    root spaces are offset into disjoint ranges (chrom +0, nuc +hw) and
+    compacted together with budget MAX_CHROM + MAX_NUC.  Chrom roots sort
+    first (< hw), so the chrom slice is the leading MAX_CHROM entries and
+    the nuc slice starts at the compacted chrom count (an XLA
+    dynamic_slice); per-class validity falls out of the value ranges.
+
+    Budget-gate equivalence (``ok_budget``): when the total distinct count
+    fits MAX_CHROM + MAX_NUC every root is captured and the per-class
+    counts are exact; when it does not, pigeonhole over the two budgets
+    means chrom > MAX_CHROM or nuc > MAX_NUC, so the gate is False either
+    way -- identical to the per-class form.
+
+    Returns (chrom dict, nuc dict, ok_budget)."""
+    h, w = img.shape
+    c_flat = _flat_roots(img == 2)
+    n_flat = _flat_roots(img == 1)
+    comb = jnp.where(
+        c_flat < hw,
+        c_flat,
+        jnp.where(n_flat < hw, n_flat + hw, 2 * hw),
+    )
+    rows = jnp.arange(hw, dtype=jnp.int32) // w
+    cols = jnp.arange(hw, dtype=jnp.int32) % w
+    max_n = MAX_CHROM + MAX_NUC
+
+    if not _needs_hilo_split(hw, h, w):
+        roots, cnt, num, sy, sx = _compact_roots_sizes(
+            comb, 2 * hw, max_n, payloads=(rows, cols)
+        )
+        vecs = (cnt, sy >> 6, sy & 63, sx >> 6, sx & 63)
+    else:
+        roots, cnt, num, sy_hi, sy_lo, sx_hi, sx_lo = _compact_roots_sizes(
+            comb, 2 * hw, max_n,
+            payloads=(rows >> 6, rows & 63, cols >> 6, cols & 63),
+        )
+        vecs = (cnt, sy_hi, sy_lo, sx_hi, sx_lo)
+
+    num_chrom = jnp.sum(roots < hw, dtype=jnp.int32)
+    num_nuc = jnp.sum(
+        jnp.logical_and(roots >= hw, roots < 2 * hw), dtype=jnp.int32
+    )
+    ok_budget = (
+        (num <= max_n) & (num_chrom <= MAX_CHROM) & (num_nuc <= MAX_NUC)
+    )
+
+    def split(vec, pad_val):
+        vecp = jnp.concatenate(
+            [vec, jnp.full(MAX_NUC, pad_val, vec.dtype)]
+        )
+        return vec[:MAX_CHROM], lax.dynamic_slice(
+            vecp, (num_chrom,), (MAX_NUC,)
+        )
+
+    c_roots, n_roots_off = split(roots, 2 * hw)
+    c_valid = c_roots < hw
+    n_valid = jnp.logical_and(n_roots_off >= hw, n_roots_off < 2 * hw)
+    c_roots = jnp.where(c_valid, c_roots, hw)
+    n_roots = jnp.where(n_valid, n_roots_off - hw, hw)
+
+    c_vecs, n_vecs = zip(*(split(v, 0) for v in vecs))
+    c = _pack_sums(c_roots, *c_vecs, c_valid, num_chrom, c_flat)
+    n = _pack_sums(n_roots, *n_vecs, n_valid, num_nuc, n_flat)
+    return c, n, ok_budget
+
+
 def _metaphase_removal(img, hw):
     """Remove 'nuclei' that sit inside a metaphase chromosome spread
     (reference src/image_tools.py:71-81): a nucleus goes to background when
@@ -409,8 +518,7 @@ def _metaphase_removal(img, hw):
     DYADIC rationals -- odd_part(N) divides S, e.g. any integer or .5
     centroid -- because then every host float op (two divisions, one +70)
     is exact; only the remaining zero hits flag."""
-    c = _component_sums(img == 2, hw, MAX_CHROM)
-    n = _component_sums(img == 1, hw, MAX_NUC)
+    c, n, ok_budget = _component_sums_pair(img, hw)
     pair_ok = jnp.logical_and(c["valid"][None, :], n["valid"][:, None])
     v = int(BAND_V)
 
@@ -505,8 +613,9 @@ def _metaphase_removal(img, hw):
         & (top > MIN_CHROM_COUNT)
         & n["valid"]
     )
-    ok = jnp.logical_and(c["num"] <= MAX_CHROM, n["num"] <= MAX_NUC)
-    ok = jnp.logical_and(ok, jnp.logical_not(jnp.logical_or(near_x, near_y)))
+    ok = jnp.logical_and(
+        ok_budget, jnp.logical_not(jnp.logical_or(near_x, near_y))
+    )
 
     # per-pixel removal map via the blocked root-flag matvec (MAX_NUC=512
     # columns, ~0.5 ms) -- the hw-LUT scatter + 1M gather this replaced
