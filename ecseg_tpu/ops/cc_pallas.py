@@ -90,15 +90,22 @@ def _fits_vmem(h: int, w: int) -> bool:
         return True  # interpret mode has no VMEM; keep one code path in CI
     hp, wp = _padded_dims(h, w)
     ok = hp * wp * 4 <= _PALLAS_MAX_TOTAL_BYTES
-    if not ok:
+    if not ok and not _fits_banded(h, w):
         # gate hits are recorded at TRACE time (once per new geometry per
         # process, since the callers are jitted) -- the signal is "this
         # program compiled with the slow XLA formulation", see
-        # runtime/fallbacks
+        # runtime/fallbacks.  Maps the BANDED kernels cover are not
+        # fallbacks: they stay on a Pallas path.
         from ..runtime import fallbacks
 
         fallbacks.record(fallbacks.PALLAS_VMEM)
     return ok
+
+
+def _fits_banded(h: int, w: int) -> bool:
+    from .cc_pallas_banded import fits_banded
+
+    return fits_banded(h, w)
 
 
 def _padded_dims(h: int, w: int):
@@ -319,6 +326,16 @@ def count_cc_pallas(mask: jnp.ndarray, connectivity: int = 2):
     binary mask -- drop-in for cc_tpu.count_cc_tpu, ~10x faster on TPU."""
     h, w = mask.shape
     if not _fits_vmem(h, w):
+        from .cc_pallas_banded import fits_banded, label_banded
+
+        if fits_banded(h, w):
+            lab = label_banded(mask, connectivity=connectivity)
+            flat = lab.reshape(-1)
+            idx = jnp.arange(h * w, dtype=jnp.int32)
+            return (
+                jnp.sum(flat == idx, dtype=jnp.int32),
+                jnp.sum(flat >= 0, dtype=jnp.int32),
+            )
         from .cc_tpu import count_cc_tpu
 
         return count_cc_tpu(mask, connectivity=connectivity)
@@ -539,6 +556,10 @@ def flood_from_border_pallas(traversable: jnp.ndarray) -> jnp.ndarray:
         border = border.at[0, :].set(True).at[-1, :].set(True)
         border = border.at[:, 0].set(True).at[:, -1].set(True)
         trav = traversable != 0
+        from .cc_pallas_banded import fits_banded, flood_banded
+
+        if fits_banded(h, w):
+            return flood_banded(trav, border, connectivity=1)
         return _flood_xla(trav, jnp.logical_and(trav, border), 1)
     m = traversable.astype(jnp.int32)[None]
     out = pl.pallas_call(
@@ -561,6 +582,12 @@ def flood_from_seeds_pallas(
     "which components contain a marked pixel"."""
     h, w = traversable.shape
     if not _fits_vmem(h, w):
+        from .cc_pallas_banded import fits_banded, flood_banded
+
+        if fits_banded(h, w):
+            return flood_banded(
+                traversable != 0, seeds != 0, connectivity=connectivity
+            )
         return _flood_xla(traversable != 0, seeds != 0, connectivity)
     m = traversable.astype(jnp.int32)[None]
     s = seeds.astype(jnp.int32)[None]
@@ -627,6 +654,10 @@ def label_pallas(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarray:
     -1.  Identical output contract to cc_tpu.label_tpu."""
     h, w = mask.shape
     if not _fits_vmem(h, w):
+        from .cc_pallas_banded import fits_banded, label_banded
+
+        if fits_banded(h, w):
+            return label_banded(mask, connectivity=connectivity)
         from .cc_tpu import label_tpu
 
         return label_tpu(mask, connectivity=connectivity)

@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""End-to-end stat_fish throughput on the chip (VERDICT r2 item 4).
+
+Drives the REAL pipeline main (ecseg_tpu.pipelines.stat_fish.main) over a
+folder of synthetic 2048^2 interphase FISH images -- DAPI nuclei incl.
+touching pairs (exercises min-cut), green/red FISH foci -- with the demo
+NuSeT weights and fixed scale 0.3 (the realistic microscopy geometry:
+NuSeT pass-2 runs at the 614^2-class bucket).  The first pass over the
+folder pays every jit compile; the second pass is the steady-state
+measurement.  Emits ONE JSON line on stdout:
+
+    {"metric": "stat_fish 2048^2 images/s/chip (end-to-end)", ...}
+
+plus the per-stage trace table on stderr (ECSEG_TRACE is forced on), so
+the top stage is identified next to the headline number.
+
+Usage: python scripts/bench_stat_fish.py [N_IMAGES]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("ECSEG_TRACE", "1")
+
+import numpy as np
+
+
+def make_images(d: str, n: int, hw: int = 2048, seed: int = 0):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[:hw, :hw]
+    for k in range(n):
+        img = np.zeros((hw, hw, 3), np.uint8)
+        img[..., 0] = 12  # DAPI background
+        centers = []
+        # ~18 isolated nuclei + 4 touching pairs per image
+        for _ in range(18):
+            cy = int(rng.integers(120, hw - 120))
+            cx = int(rng.integers(120, hw - 120))
+            r = int(rng.integers(45, 90))
+            centers.append((cy, cx, r))
+        for _ in range(4):
+            cy = int(rng.integers(160, hw - 160))
+            cx = int(rng.integers(160, hw - 160))
+            r = int(rng.integers(50, 80))
+            centers.append((cy, cx, r))
+            centers.append((cy + int(1.6 * r), cx, r))
+        for cy, cx, r in centers:
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            img[..., 0][m] = int(rng.integers(190, 240))
+            # FISH foci inside the nucleus: green (ch1) + red (ch2)
+            for ch in (1, 2):
+                for _ in range(int(rng.integers(1, 4))):
+                    dy = int(rng.integers(-r // 2, r // 2))
+                    dx = int(rng.integers(-r // 2, r // 2))
+                    y, x = cy + dy, cx + dx
+                    img[y - 2 : y + 3, x - 2 : x + 3, ch] = int(
+                        rng.integers(170, 250)
+                    )
+        cv2.imwrite(os.path.join(d, f"bench_{k:02d}.tif"), img)
+
+
+def run_once(inpath: str) -> float:
+    from ecseg_tpu.core.config import Config
+    from ecseg_tpu.pipelines import stat_fish
+
+    cfg = Config(
+        raw={
+            "stat_fish": {
+                "inpath": inpath,
+                "scale": 0.3,
+                "use_min_cut": True,
+                "nuclei_size_T": 5000,
+            }
+        }
+    )
+    t0 = time.perf_counter()
+    rc = stat_fish.main(config=cfg)
+    dt = time.perf_counter() - t0
+    assert rc == 0, f"stat_fish failed rc={rc}"
+    return dt
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    from ecseg_tpu.runtime.hostmem import tune_host_allocator
+
+    tune_host_allocator()
+    from ecseg_tpu.runtime.trace import tracer
+
+    with tempfile.TemporaryDirectory() as d:
+        print(f"generating {n} synthetic 2048^2 images...", file=sys.stderr)
+        make_images(d, n)
+
+        print("pass 1 (compiles)...", file=sys.stderr, flush=True)
+        warm = run_once(d)
+        print(f"pass 1: {warm:.1f}s (incl. compiles)", file=sys.stderr)
+        tracer().reset()
+
+        print("pass 2 (steady state)...", file=sys.stderr, flush=True)
+        dt = run_once(d)
+
+        stages = {
+            name: sum(ts) for name, ts in tracer()._times.items()
+        }
+        top = max(stages, key=stages.get) if stages else "n/a"
+        tracer().report(out=sys.stderr)
+        tracer().reset()
+
+        result = {
+            "metric": "stat_fish 2048^2 images/s/chip (end-to-end: NuSeT x2 "
+            "+ min-cut + matched filter + region stats + writes)",
+            "value": round(n / dt, 3),
+            "unit": "images/s/chip",
+            "seconds_per_image": round(dt / n, 2),
+            "n_images": n,
+            "top_stage": f"{top} ({stages.get(top, 0):.1f}s of {dt:.1f}s)",
+        }
+        print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,13 +60,17 @@ def test_pallas_vmem_gate_records(monkeypatch):
     from ecseg_tpu.ops import cc_pallas
 
     monkeypatch.setattr(cc_pallas, "_interpret", lambda: False)
-    h, w = 2048, 2048  # padded map > _PALLAS_MAX_TOTAL_BYTES
+    # beyond BOTH the in-VMEM envelope and the banded HBM bound: XLA
+    # fallback, recorded
+    h, w = 9000, 9000
     assert not cc_pallas._fits_vmem(h, w)
     assert fallbacks.counts().get(fallbacks.PALLAS_VMEM, 0) >= 1
-    # within the envelope: no new records
+    # within an envelope: no new records -- in-VMEM for small maps, banded
+    # for the 2048^2 microscopy class (a Pallas path, not a fallback)
     fallbacks.reset()
     assert cc_pallas._fits_vmem(256, 256)
     assert cc_pallas._fits_vmem(1024, 1024)
+    assert not cc_pallas._fits_vmem(2048, 2048)  # routes banded, no record
     assert fallbacks.counts() == {}
 
 
