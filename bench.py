@@ -23,8 +23,11 @@ line is the default half-width flagship (33 GFLOP/patch), and the full-width
 classic U-Net (``xl``, 130 GFLOP/patch -- the likely shape of the real
 metaseg.h5) is measured afterwards and reported as a second JSON line on
 STDERR, each with its MFU vs the chip's bf16 peak, so the scored number
-cannot be read as covering the full-width case.  ``--arch xl`` measures only
-xl (stderr); ``--flagship-only`` skips the xl pass.
+cannot be read as covering the full-width case.  The FULL product path
+(forward + stitch + device meta_inference + count -- what `make metaseg`
+runs per image) is also measured every run and lands as another stderr
+JSON line.  ``--arch xl`` measures only xl (stderr); ``--flagship-only``
+skips the xl pass; ``--no-full`` skips the product-path pass.
 """
 
 import json
@@ -80,7 +83,7 @@ def _sizes(arch: str):
     return BATCH_TILES, NCHUNKS
 
 
-def build(arch: str = "default", full: bool = False):
+def build(arch: str = "default", full: bool = False, fused_tail: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +104,22 @@ def build(arch: str = "default", full: bool = False):
     params = _realistic_params(jax.random.PRNGKey(0), widths, bott)
 
     def tile_fn(params, patches):  # (25, 256, 256, 1) uint8 -> ec count
+        if fused_tail:
+            # level-1 decoder tail + head + softmax + exact quantize +
+            # argmax as one Pallas kernel (ops/fused_tail): the 256^2
+            # intermediates never round-trip HBM.  Same MAC set; f32
+            # accumulation order differs (bf16 throughput path only).
+            from ecseg_tpu.ops.fused_tail import fused_dec1_head
+
+            xcat = metaseg_unet.forward_cat1(params, patches, dtype=jnp.bfloat16)
+            labels = fused_dec1_head(
+                xcat,
+                params["dec1_1"]["kernel"], params["dec1_1"]["bias"],
+                params["dec1_2"]["kernel"], params["dec1_2"]["bias"],
+                params["head"]["kernel"], params["head"]["bias"],
+            )
+            num_ec, _ = count_cc_from_patches(labels, positions, class_id=3)
+            return num_ec
         probs = metaseg_unet.forward(params, patches, dtype=jnp.bfloat16)
         # exact uint8 quantization + argmax (commutes with the stitch
         # copies, see tiling.stitch_argmax_jax); the stitch itself runs
@@ -166,8 +185,8 @@ def build(arch: str = "default", full: bool = False):
     return run, params, jnp.asarray(chunks)
 
 
-def measure(arch: str, full: bool = False):
-    run, params, chunks = build(arch, full=full)
+def measure(arch: str, full: bool = False, fused_tail: bool = False):
+    run, params, chunks = build(arch, full=full, fused_tail=fused_tail)
     counts = np.asarray(run(params, chunks))  # compile + sync
     assert int(counts.reshape(-1)[0]) > 10, "mask degenerated; bench invalid"
     np.asarray(run(params, chunks))  # warmup
@@ -272,16 +291,29 @@ def main():
     n_chips = 1
     arch = "xl" if "--arch" in sys.argv and "xl" in sys.argv else "default"
 
+    if "--fused-tail" in sys.argv:
+        # experiment mode: the level-1 decoder tail as one Pallas kernel
+        per_chip = measure(arch, fused_tail=True) / n_chips
+        r = _result(arch, per_chip, n_chips)
+        r["metric"] += " [fused-tail]"
+        print(json.dumps(r), file=sys.stderr, flush=True)
+        return
+
     per_chip = measure(arch) / n_chips
     out = sys.stderr if arch == "xl" else sys.stdout
     print(json.dumps(_result(arch, per_chip, n_chips)), file=out, flush=True)
 
-    if "--full" in sys.argv:
-        # full product path incl. device meta_inference (stderr line)
-        full_per_chip = measure(arch, full=True) / n_chips
-        r = _result(arch, full_per_chip, n_chips)
-        r["metric"] += " [full-pipeline: + device meta_inference]"
-        print(json.dumps(r), file=sys.stderr, flush=True)
+    if "--no-full" not in sys.argv:
+        # full product path incl. device meta_inference -- measured on EVERY
+        # run (stderr line) so the number a `make metaseg` user experiences
+        # lands in the round artifacts next to the scored hot-path line
+        try:
+            full_per_chip = measure(arch, full=True) / n_chips
+            r = _result(arch, full_per_chip, n_chips)
+            r["metric"] += " [full-pipeline: + device meta_inference]"
+            print(json.dumps(r), file=sys.stderr, flush=True)
+        except Exception as e:  # the scored flagship line is already out
+            print(f"full-pipeline bench failed: {e!r}", file=sys.stderr)
 
     if arch == "default" and "--flagship-only" not in sys.argv:
         # full-width U-Net: measured every run so both numbers land in the

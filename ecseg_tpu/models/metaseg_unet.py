@@ -110,8 +110,12 @@ def flops_per_patch(
     return f
 
 
-def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
-    """(N, H, W, C) patches -> (N, H, W, num_classes) softmax probabilities."""
+def forward_cat1(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """Everything up to (and including) the level-1 skip concatenation:
+    returns the (N, H, W, 2*width1) input of ``dec1_1``.  Split out so the
+    fused decoder-tail kernel (ops/fused_tail) can take over from here on
+    the bf16 throughput path; :func:`forward` composes this with the XLA
+    tail, so both paths share one trunk definition."""
     levels = num_levels(params)
     x = x.astype(dtype)
     x = x / jnp.asarray(255.0, dtype)
@@ -126,7 +130,7 @@ def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
     x = relu(conv2d(x, params["bott_1"]["kernel"], params["bott_1"]["bias"]))
     x = relu(conv2d(x, params["bott_2"]["kernel"], params["bott_2"]["bias"]))
 
-    for i in range(levels, 0, -1):
+    for i in range(levels, 1, -1):
         x = relu(
             conv2d_transpose(x, params[f"up{i}"]["kernel"], params[f"up{i}"]["bias"])
         )
@@ -134,6 +138,15 @@ def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
         x = relu(conv2d(x, params[f"dec{i}_1"]["kernel"], params[f"dec{i}_1"]["bias"]))
         x = relu(conv2d(x, params[f"dec{i}_2"]["kernel"], params[f"dec{i}_2"]["bias"]))
 
+    x = relu(conv2d_transpose(x, params["up1"]["kernel"], params["up1"]["bias"]))
+    return jnp.concatenate([skips[0].astype(x.dtype), x], axis=-1)
+
+
+def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """(N, H, W, C) patches -> (N, H, W, num_classes) softmax probabilities."""
+    x = forward_cat1(params, x, dtype=dtype)
+    x = relu(conv2d(x, params["dec1_1"]["kernel"], params["dec1_1"]["bias"]))
+    x = relu(conv2d(x, params["dec1_2"]["kernel"], params["dec1_2"]["bias"]))
     logits = conv2d(x, params["head"]["kernel"], params["head"]["bias"])
     # Softmax in fp32 for a stable, parity-safe probability map.
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -232,7 +232,7 @@ def stitch_argmax_jax(
     return stitch_patches_jax(labels, positions, overlap_value, scw)[..., 0]
 
 
-def quantize_u8_jax(probs):
+def quantize_u8_values_jax(probs):
     """EXACT device twin of :func:`img_as_ubyte_float` for f32 inputs:
     round-half-even(255 * p) of the EXACT product, as the host computes via
     float64 (a float32 p widens losslessly and 255 * p fits 32 < 53 bits).
@@ -263,7 +263,16 @@ def quantize_u8_jax(probs):
     diff = s - q  # exact (Sterbenz)
     q = jnp.where(jnp.logical_and(diff == 0.5, resid > 0), q + 1.0, q)
     q = jnp.where(jnp.logical_and(diff == -0.5, resid < 0), q - 1.0, q)
-    return jnp.clip(q, 0, 255).astype(jnp.uint8)
+    return jnp.clip(q, 0, 255)
+
+
+def quantize_u8_jax(probs):
+    """uint8 view of :func:`quantize_u8_values_jax` (same exact
+    arithmetic; split out because Mosaic kernels cannot cast f32->uint8
+    and argmax consumers only need the integer-valued f32 bytes)."""
+    import jax.numpy as jnp
+
+    return quantize_u8_values_jax(probs).astype(jnp.uint8)
 
 
 def stitch_labels_host(
