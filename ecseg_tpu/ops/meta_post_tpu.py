@@ -38,11 +38,8 @@ a class is absent.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from .cc_pallas import label_pallas
