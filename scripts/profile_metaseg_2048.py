@@ -1,10 +1,12 @@
 #!/usr/bin/env python3
 """End-to-end device metaseg timing at the reference's full 2048^2 image
-size: forward -> Pallas stitch -> device meta_inference -> packed fetch.
-At this geometry the cc_pallas entry points are beyond the Pallas VMEM
-compile envelope (cc_pallas._fits_vmem) and take their XLA fallbacks --
-this script validates that gated path end-to-end on the chip and reports
-steady-state seconds/image (the VERDICT r1 target is <= 0.8 s)."""
+size: forward -> stitch -> device meta_inference -> packed fetch.
+At this geometry the cc_pallas entry points route to the banded
+HBM-resident Pallas kernels (ops/cc_pallas_banded: ~98 s / 44 s compiles
+and faster steady state vs the XLA formulations' 1202 s compile at
+755 ms/labeling; the whole-map-in-VMEM form needs 212 MB VMEM and cannot
+compile).  This script validates the banded product path end-to-end on
+the chip and reports steady-state seconds/image."""
 
 import os
 import sys
