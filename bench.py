@@ -299,9 +299,14 @@ def main():
         print(json.dumps(r), file=sys.stderr, flush=True)
         return
 
+    # Measure the scored flagship first (fail fast if the chip is sick) but
+    # PRINT it last: the driver parses the LAST JSON line of the merged
+    # stdout+stderr tail, so the auxiliary xl / full-pipeline lines must be
+    # emitted before the scored line or they shadow it in the round record
+    # (BENCH_r02/r03 recorded the 0.447x xl line instead of the 1.3x
+    # flagship for exactly that reason).
     per_chip = measure(arch) / n_chips
-    out = sys.stderr if arch == "xl" else sys.stdout
-    print(json.dumps(_result(arch, per_chip, n_chips)), file=out, flush=True)
+    scored = _result(arch, per_chip, n_chips)
 
     if "--no-full" not in sys.argv:
         # full product path incl. device meta_inference -- measured on EVERY
@@ -312,7 +317,7 @@ def main():
             r = _result(arch, full_per_chip, n_chips)
             r["metric"] += " [full-pipeline: + device meta_inference]"
             print(json.dumps(r), file=sys.stderr, flush=True)
-        except Exception as e:  # the scored flagship line is already out
+        except Exception as e:
             print(f"full-pipeline bench failed: {e!r}", file=sys.stderr)
 
     if arch == "default" and "--flagship-only" not in sys.argv:
@@ -325,8 +330,11 @@ def main():
                 file=sys.stderr,
                 flush=True,
             )
-        except Exception as e:  # the scored flagship line is already out
+        except Exception as e:
             print(f"xl bench failed: {e!r}", file=sys.stderr)
+
+    out = sys.stderr if arch == "xl" else sys.stdout
+    print(json.dumps(scored), file=out, flush=True)
 
 
 if __name__ == "__main__":

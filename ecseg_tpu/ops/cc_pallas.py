@@ -85,7 +85,7 @@ _PALLAS_MAX_MAP_BYTES = 6 * 1024 * 1024
 _PALLAS_MAX_TOTAL_BYTES = 6 * 1024 * 1024
 
 
-def _fits_vmem(h: int, w: int) -> bool:
+def _fits_vmem(h: int, w: int, op: str = "") -> bool:
     if _interpret():
         return True  # interpret mode has no VMEM; keep one code path in CI
     hp, wp = _padded_dims(h, w)
@@ -95,10 +95,13 @@ def _fits_vmem(h: int, w: int) -> bool:
         # process, since the callers are jitted) -- the signal is "this
         # program compiled with the slow XLA formulation", see
         # runtime/fallbacks.  Maps the BANDED kernels cover are not
-        # fallbacks: they stay on a Pallas path.
+        # fallbacks: they stay on a Pallas path.  The key embeds op+geometry
+        # so a fallback line in a bench tail identifies the culprit program
+        # (VERDICT r3 item 5: a bare counter was unactionable).
         from ..runtime import fallbacks
 
-        fallbacks.record(fallbacks.PALLAS_VMEM)
+        tag = f"[{op + ':' if op else ''}{h}x{w}]"
+        fallbacks.record(fallbacks.PALLAS_VMEM + tag)
     return ok
 
 
@@ -325,7 +328,7 @@ def count_cc_pallas(mask: jnp.ndarray, connectivity: int = 2):
     """On-device (num_components, total_foreground_pixels) for one (H, W)
     binary mask -- drop-in for cc_tpu.count_cc_tpu, ~10x faster on TPU."""
     h, w = mask.shape
-    if not _fits_vmem(h, w):
+    if not _fits_vmem(h, w, op="count_cc"):
         from .cc_pallas_banded import fits_banded, label_banded
 
         if fits_banded(h, w):
@@ -386,7 +389,7 @@ def count_cc_from_patches(
     hp, wp = _padded_dims(H, W)
     n = label_patches.shape[0]
     if (
-        not _fits_vmem(H, W)
+        not _fits_vmem(H, W, op="count_from_patches")
         or 4 * (n * SCW * SCW + hp * wp) > 45 * 1024 * 1024
     ):
         from .tiling import stitch_patches_jax
@@ -551,7 +554,7 @@ def flood_from_border_pallas(traversable: jnp.ndarray) -> jnp.ndarray:
     border through traversable runs.  ``binary_fill_holes(mask)`` ==
     ``mask | (~mask & ~flood_from_border(~mask))``."""
     h, w = traversable.shape
-    if not _fits_vmem(h, w):
+    if not _fits_vmem(h, w, op="flood_border"):
         border = jnp.zeros((h, w), bool)
         border = border.at[0, :].set(True).at[-1, :].set(True)
         border = border.at[:, 0].set(True).at[:, -1].set(True)
@@ -581,7 +584,7 @@ def flood_from_seeds_pallas(
     seed pixel through traversable runs -- the scatter-free form of
     "which components contain a marked pixel"."""
     h, w = traversable.shape
-    if not _fits_vmem(h, w):
+    if not _fits_vmem(h, w, op="flood_seeds"):
         from .cc_pallas_banded import fits_banded, flood_banded
 
         if fits_banded(h, w):
@@ -653,7 +656,7 @@ def label_pallas(mask: jnp.ndarray, connectivity: int = 2) -> jnp.ndarray:
     """Canonical min-index labeling of one (H, W) binary mask; background is
     -1.  Identical output contract to cc_tpu.label_tpu."""
     h, w = mask.shape
-    if not _fits_vmem(h, w):
+    if not _fits_vmem(h, w, op="label"):
         from .cc_pallas_banded import fits_banded, label_banded
 
         if fits_banded(h, w):

@@ -199,9 +199,9 @@ def main(argv=None, config: Optional[Config] = None) -> int:
 
     from ..runtime.batching import prefetch_map
 
-    dfs = []
-    path_split = None
-    for i, (I, segmented_cells) in prefetch_map(_decode, image_paths):
+    def _process_image(i, I, segmented_cells, predict_i, predict_c):
+        """One image end-to-end: gather nucleus crops (host), one device
+        batch per classifier, assemble rows.  Returns the per-image frame."""
         path_split = os.path.split(i)
         print("Processing image: ", i)
 
@@ -277,14 +277,14 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         if patches:
             batch = np.stack(patches)  # (N, 256, 256, 3)
             with stage("interseg.predict_i"):
-                probs_i = predict_i_batch(batch[..., 0])
+                probs_i = predict_i(batch[..., 0])
             if has_centromeric_probe:
                 cent_ok = batch[..., 1].max(axis=(1, 2)) > 10
                 c_rows = np.nonzero(cent_ok & quality_pass)[0]
                 if len(c_rows):
                     pre = np.stack([preprocess_ecseg_c(batch[k]) for k in c_rows])
                     with stage("interseg.predict_c"):
-                        probs_c = predict_c_batch(pre)
+                        probs_c = predict_c(pre)
                     c_prob = dict(zip(c_rows.tolist(), probs_c[:, 0].tolist()))
                 else:
                     c_prob = {}
@@ -327,8 +327,68 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         if has_centromeric_probe:
             df["ecSeg-c_label"] = ecseg_c_label
         df["ecSeg-i_label"] = ecseg_i_label
-        dfs.append(df)
+        return df
 
+    # Multi-device: images fan out data-parallel (the reference is a
+    # per-image loop, src/interseg.py:105-253), one worker thread per device
+    # with the classifier weights replicated onto that device; frames are
+    # re-emitted in input order so the CSV bytes match the sequential path.
+    # ECSEG_INTERSEG_SHARD=0 forces sequential.
+    import jax
+
+    devices = jax.devices()
+    shard = len(devices) > 1 and os.environ.get(
+        "ECSEG_INTERSEG_SHARD", "1"
+    ).strip().lower() not in ("0", "false", "no", "off")
+
+    dfs = []
+    if not shard:
+        for i, (I, segmented_cells) in prefetch_map(_decode, image_paths):
+            dfs.append(
+                _process_image(
+                    i, I, segmented_cells, predict_i_batch, predict_c_batch
+                )
+            )
+    else:
+        import concurrent.futures as cf
+
+        def _replicate(model, dev):
+            if model is None:
+                return None
+            put = lambda t: jax.device_put(t, dev)
+            if isinstance(model, KerasModel):
+                return KerasModel(
+                    jax.tree.map(put, model.params), model._forward, model.config
+                )
+            return jax.tree.map(put, model)
+
+        predictors = {}
+        for dev in devices:
+            predictors[dev] = (
+                _batched(_replicate(ecseg_i_params, dev), classifiers.ecseg_i_forward),
+                _batched(_replicate(ecseg_c_params, dev), classifiers.ecseg_c_forward),
+            )
+
+        def _work(idx, i, I, seg):
+            dev = devices[idx % len(devices)]
+            with jax.default_device(dev):
+                p_i, p_c = predictors[dev]
+                return _process_image(i, I, seg, p_i, p_c)
+
+        results = {}
+        inflight = {}
+        with cf.ThreadPoolExecutor(max_workers=len(devices)) as pool:
+            for idx, (i, (I, seg)) in enumerate(prefetch_map(_decode, image_paths)):
+                # bound host memory: at most 2 images in flight per device
+                while len(inflight) >= 2 * len(devices):
+                    oldest = min(inflight)
+                    results[oldest] = inflight.pop(oldest).result()
+                inflight[idx] = pool.submit(_work, idx, i, I, seg)
+            for k in sorted(inflight):
+                results[k] = inflight[k].result()
+        dfs = [results[k] for k in sorted(results)]
+
+    path_split = os.path.split(image_paths[-1]) if image_paths else None
     if dfs and path_split is not None:
         out = pd.concat(dfs)
         out.to_csv(

@@ -98,16 +98,17 @@ def main(argv=None, config: Optional[Config] = None) -> int:
     first_fish = "green"
     second_fish = "red"
 
-    rows = []
-    path_split = None
-    for i in image_paths:
+    def _process(i):
+        """One image end-to-end: decode + channel split (PNG writes) + the
+        ten statistics.  Returns the CSV row dict, or None for the non-RGB
+        skip signal.  Pure per-image work -- safe to fan out over devices."""
         path_split = os.path.split(i)
         print("Processing image: ", i)
         with stage("meta_overlay.read+split"):
             I = imgio.imread_rgb(i)
             res = split_FISH_channels(I, i, sensitivity)
             if not isinstance(res, tuple):
-                continue
+                return None
             red, green = res
             fish = green
             fish2 = red
@@ -165,20 +166,43 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                 num_ecDNA_FISH_FISH2 = count_colocalization(ec, fish2 * fish)
                 num_HSR2 = count_HSR(chrom, fish2, HSR_SIZE_THRESHOLD)
 
-        rows.append(
-            {
-                "image_name": path_split[1],
-                "# of ecDNA (DAPI)": num_ecDNA,
-                f"# of ecDNA (DAPI and {first_fish})": num_ecDNA_FISH,
-                f"# of ecDNA ({first_fish})": num_FISH,
-                f"# of HSR ({first_fish})": num_HSR,
-                f"# of ecDNA (DAPI and {second_fish})": num_ecDNA_FISH2,
-                f"# of ecDNA (DAPI and {second_fish} and {first_fish})": num_ecDNA_FISH_FISH2,
-                f"# of ecDNA ({second_fish} and {first_fish})": num_FISH_FISH2,
-                f"# of ecDNA ({second_fish})": num_FISH2,
-                f"# of HSR ({second_fish})": num_HSR2,
-            }
-        )
+        return {
+            "image_name": path_split[1],
+            "# of ecDNA (DAPI)": num_ecDNA,
+            f"# of ecDNA (DAPI and {first_fish})": num_ecDNA_FISH,
+            f"# of ecDNA ({first_fish})": num_FISH,
+            f"# of HSR ({first_fish})": num_HSR,
+            f"# of ecDNA (DAPI and {second_fish})": num_ecDNA_FISH2,
+            f"# of ecDNA (DAPI and {second_fish} and {first_fish})": num_ecDNA_FISH_FISH2,
+            f"# of ecDNA ({second_fish} and {first_fish})": num_FISH_FISH2,
+            f"# of ecDNA ({second_fish})": num_FISH2,
+            f"# of HSR ({second_fish})": num_HSR2,
+        }
+
+    # Images are embarrassingly parallel (the reference is a per-image loop,
+    # src/meta_overlay.py:56-95): on a multi-device mesh fan them out
+    # data-parallel, one worker thread per device (jax.default_device is
+    # thread-local), rows re-emitted in input order so the CSV bytes match
+    # the sequential path.  ECSEG_OVERLAY_SHARD=0 forces sequential.
+    import jax
+
+    devices = jax.devices()
+    shard = len(devices) > 1 and os.environ.get(
+        "ECSEG_OVERLAY_SHARD", "1"
+    ).strip().lower() not in ("0", "false", "no", "off")
+    if shard:
+        import concurrent.futures as cf
+
+        def _work(idx, i):
+            with jax.default_device(devices[idx % len(devices)]):
+                return _process(i)
+
+        with cf.ThreadPoolExecutor(max_workers=len(devices)) as pool:
+            results = list(pool.map(_work, range(len(image_paths)), image_paths))
+    else:
+        results = [_process(i) for i in image_paths]
+    rows = [r for r in results if r is not None]
+    path_split = os.path.split(image_paths[-1]) if image_paths else None
 
     if not rows:
         # (the reference crashes reordering an empty frame; we just exit)
