@@ -83,7 +83,12 @@ def _sizes(arch: str):
     return BATCH_TILES, NCHUNKS
 
 
-def build(arch: str = "default", full: bool = False, fused_tail: bool = False):
+def build(
+    arch: str = "default",
+    full: bool = False,
+    fused_tail: bool = False,
+    full_stage: str = "full",
+):
     import jax
     import jax.numpy as jnp
 
@@ -129,41 +134,56 @@ def build(arch: str = "default", full: bool = False, fused_tail: bool = False):
         num_ec, _ = count_cc_from_patches(labels, positions, class_id=3)
         return num_ec
 
-    def tile_fn_full(params, patches):
-        # the PRODUCT per-image program: forward -> Pallas stitch -> device
-        # meta_inference -> final ec component count (pipelines/metaseg
-        # _segment_post_jit dataflow)
+    def group_fn_full(params, group, stage="full"):
+        # the PRODUCT per-image program, group-batched: ONE forward over the
+        # whole group's patch stack (G*25 patches -- 25-patch convs leave the
+        # MXU under-filled and were the bulk of round 3's unexplained ~10 ms
+        # full-vs-forward gap), then the per-image post chain (Pallas stitch
+        # -> device meta_inference -> ec count, pipelines/metaseg
+        # _segment_post_jit dataflow) as an inner scan: the fixpoint kernels
+        # are per-canvas, and a TPU core runs one program at a time, so
+        # "overlapping" forward with post inside a chip means batching the
+        # batchable stage, not concurrency.  ``stage`` truncates the chain
+        # for the --itemize-full decomposition.
         from ecseg_tpu.ops.cc_pallas import stitch_labels_pallas
         from ecseg_tpu.ops.meta_post_tpu import (
             count_roots_tpu,
             meta_inference_tpu,
         )
 
-        probs = metaseg_unet.forward(params, patches, dtype=jnp.bfloat16)
+        g = group.shape[0]
+        flat = group.reshape((-1,) + group.shape[2:])
+        probs = metaseg_unet.forward(params, flat, dtype=jnp.bfloat16)
         labels = jnp.argmax(tiling.quantize_u8_jax(probs), -1).astype(jnp.int32)
-        canvas = stitch_labels_pallas(labels, positions)
-        out, _ok = meta_inference_tpu(canvas)
-        return count_roots_tpu(out == 3)
+        if stage == "fwd":
+            return labels.reshape(g, -1)[:, 0]  # keep per-tile liveness
+        labels = labels.reshape((g, -1) + labels.shape[1:])
 
-    fn = tile_fn_full if full else tile_fn
+        def post(carry, lab):
+            canvas = stitch_labels_pallas(lab, positions)
+            if stage == "stitch":
+                return carry, canvas[0, 0] + canvas[-1, -1]
+            out, _ok = meta_inference_tpu(canvas)
+            if stage == "meta":
+                return carry, out[0, 0] + out[-1, -1]
+            return carry, count_roots_tpu(out == 3)
+
+        _, counts = jax.lax.scan(post, 0, labels)
+        return counts
 
     @jax.jit
     def run(params, chunks):  # (NCHUNKS, BATCH, 25, 256, 256, 1) -> counts
         if full:
-            # meta_inference's Pallas fixpoints are per-canvas: scan over
-            # the tiles one program at a time (vmapped/nested-map variants
-            # measure ~4x slower for the while-loop-heavy body)
-            tiles = chunks.reshape((-1,) + chunks.shape[2:])
-            n = tiles.shape[0]
+            def step_g(carry, idx):
+                return carry, group_fn_full(
+                    params, chunks[idx % nchunks], stage=full_stage
+                )
 
-            def step_t(carry, idx):
-                return carry, fn(params, tiles[idx % n])
-
-            _, out = jax.lax.scan(step_t, 0, jnp.arange(n * PASSES))
-            return out  # (N_TILES * PASSES,)
+            _, out = jax.lax.scan(step_g, 0, jnp.arange(nchunks * PASSES))
+            return out  # (NCHUNKS * PASSES, BATCH)
 
         def step(carry, idx):
-            counts = jax.vmap(lambda t: fn(params, t))(chunks[idx % nchunks])
+            counts = jax.vmap(lambda t: tile_fn(params, t))(chunks[idx % nchunks])
             return carry, counts
 
         _, out = jax.lax.scan(step, 0, jnp.arange(nchunks * PASSES))
@@ -185,10 +205,18 @@ def build(arch: str = "default", full: bool = False, fused_tail: bool = False):
     return run, params, jnp.asarray(chunks)
 
 
-def measure(arch: str, full: bool = False, fused_tail: bool = False):
-    run, params, chunks = build(arch, full=full, fused_tail=fused_tail)
+def measure(
+    arch: str,
+    full: bool = False,
+    fused_tail: bool = False,
+    full_stage: str = "full",
+):
+    run, params, chunks = build(
+        arch, full=full, fused_tail=fused_tail, full_stage=full_stage
+    )
     counts = np.asarray(run(params, chunks))  # compile + sync
-    assert int(counts.reshape(-1)[0]) > 10, "mask degenerated; bench invalid"
+    if not full or full_stage == "full":
+        assert int(counts.reshape(-1)[0]) > 10, "mask degenerated; bench invalid"
     np.asarray(run(params, chunks))  # warmup
 
     total = chunks.shape[0] * chunks.shape[1] * PASSES
@@ -290,6 +318,36 @@ def main():
     # host's chip count on any multi-chip attachment
     n_chips = 1
     arch = "xl" if "--arch" in sys.argv and "xl" in sys.argv else "default"
+
+    if "--itemize-full" in sys.argv:
+        # decomposition mode (VERDICT r3 item 2): measure the product chain
+        # truncated after each stage on the SAME group-batched program so the
+        # per-stage budget of the full-pipeline line is itemized, not inferred
+        rows = {}
+        for st in ("fwd", "stitch", "meta", "full"):
+            per_chip = measure(arch, full=True, full_stage=st) / n_chips
+            rows[st] = 1e3 / per_chip
+            print(
+                f"[itemize-full] through {st:7s}: {per_chip:7.2f} t/s/chip "
+                f"= {rows[st]:6.2f} ms/tile",
+                file=sys.stderr,
+                flush=True,
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "full-pipeline stage budget (ms/1024^2 tile)",
+                    "forward+argmax": round(rows["fwd"], 2),
+                    "stitch": round(rows["stitch"] - rows["fwd"], 2),
+                    "meta_inference": round(rows["meta"] - rows["stitch"], 2),
+                    "count": round(rows["full"] - rows["meta"], 2),
+                    "total": round(rows["full"], 2),
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+        return
 
     if "--fused-tail" in sys.argv:
         # experiment mode: the level-1 decoder tail as one Pallas kernel

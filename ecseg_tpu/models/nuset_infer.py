@@ -76,19 +76,36 @@ def init_nuset_model(
 
 @jax.jit
 def _mask_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
-    """Pass 1: normalized image (1, H, W, 1) -> fg mask (Hb, Wb) float32.
-    ``valid_hw`` is a pair of TRACED scalars (not a static cache key), so
-    every true geometry within one bucket shares one compiled program; the
-    padded mask is cropped back to (H, W) on the host (a device crop would
-    need a shape-dependent -- hence geometry-specialized -- program)."""
+    """Pass 1: normalized image (1, H, W, 1) -> fg mask, 1-BIT PACKED
+    (Hb, ceil(Wb/8)) uint8.  ``valid_hw`` is a pair of TRACED scalars (not a
+    static cache key), so every true geometry within one bucket shares one
+    compiled program; the padded mask is cropped back to (H, W) on the host
+    (a device crop would need a shape-dependent -- hence
+    geometry-specialized -- program).
+
+    The mask is exactly {0, 1} (per-pixel argmax), so the bitmap fetch is
+    lossless and 8x smaller -- this attachment moves device->host bytes at
+    ~27 MB/s, so the raw 615^2 f32 mask fetch alone cost ~55 ms/pass."""
+    from ..ops.packing import pack_mask_1bit_jax
+
     logits, _ = nuset.unet_forward(unet_params, image, valid_hw)
-    return nuset.pred_mask(logits)
+    return pack_mask_1bit_jax(nuset.pred_mask(logits))
 
 
 @jax.jit
 def _mask_and_feat_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
+    """Pass 2 front half: (packed mask bitmap, device-resident RPN feat)."""
+    from ..ops.packing import pack_mask_1bit_jax
+
     logits, feat = nuset.unet_forward(unet_params, image, valid_hw)
-    return nuset.pred_mask(logits), feat
+    return pack_mask_1bit_jax(nuset.pred_mask(logits)), feat
+
+
+def _fetch_mask(packed_dev, Hb: int, Wb: int) -> np.ndarray:
+    """One small fetch + host LUT unpack -> (Hb, Wb) float32 {0., 1.}."""
+    from ..ops.packing import unpack_mask_1bit
+
+    return unpack_mask_1bit(np.asarray(packed_dev), Wb).astype(np.float32)
 
 
 @functools.partial(
@@ -150,6 +167,39 @@ def _proposal_pass(
     return proposals, scores_out, valid
 
 
+@functools.partial(
+    jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n")
+)
+def _proposal_pass_packed(
+    rpn_params: Dict,
+    feat: jnp.ndarray,
+    all_anchors: jnp.ndarray,
+    im_shape: Tuple[int, int],
+    nms_threshold: float,
+    pre_nms_top_n: int = box_ops.PRE_NMS_TOP_N,
+    post_nms_top_n: int = box_ops.POST_NMS_TOP_N,
+    valid_grid: Tuple[int, int] = None,
+):
+    """:func:`_proposal_pass` with its three outputs concatenated into ONE
+    (P, 6) f32 array [x1, y1, x2, y2, score, valid] so the host pays a
+    single dispatch round trip (~35-45 ms each on this attachment) instead
+    of three.  Values are bit-identical to the separate outputs."""
+    proposals, scores, valid = _proposal_pass(
+        rpn_params,
+        feat,
+        all_anchors,
+        im_shape,
+        nms_threshold,
+        pre_nms_top_n=pre_nms_top_n,
+        post_nms_top_n=post_nms_top_n,
+        valid_grid=valid_grid,
+    )
+    return jnp.concatenate(
+        [proposals, scores[:, None], valid.astype(jnp.float32)[:, None]],
+        axis=1,
+    )
+
+
 BUCKET = 128  # compile-geometry bucket granularity (/16-aligned)
 
 
@@ -193,11 +243,11 @@ def nuset_forward(
         image_norm = padded
     x = jnp.asarray(image_norm, jnp.float32).reshape(1, Hb, Wb, 1)
     if not pass_two:
-        mask = np.asarray(_mask_pass(model.unet_whole, x, valid_hw))
+        mask = _fetch_mask(_mask_pass(model.unet_whole, x, valid_hw), Hb, Wb)
         return mask[:H, :W] if valid_hw is not None else mask
 
     mask_dev, feat = _mask_and_feat_pass(model.unet_fg, x, valid_hw)
-    mask = np.asarray(mask_dev)
+    mask = _fetch_mask(mask_dev, Hb, Wb)
     if valid_hw is not None:
         mask = mask[:H, :W]  # host-side crop keeps the device program
         # geometry-independent within the bucket
@@ -209,17 +259,21 @@ def nuset_forward(
         ref_anchors, STRIDE, (Hb // STRIDE, Wb // STRIDE)
     )
 
-    proposals, scores, valid = _proposal_pass(
-        model.rpn_fg,
-        feat,
-        jnp.asarray(all_anchors),
-        (H, W),
-        model.nms_threshold,
-        valid_grid=(H // STRIDE, W // STRIDE) if valid_hw is not None else None,
-    )
-    valid = np.asarray(valid)
-    proposals = np.asarray(proposals)[valid]
-    scores = np.asarray(scores)[valid]
+    packed = np.asarray(
+        _proposal_pass_packed(
+            model.rpn_fg,
+            feat,
+            jnp.asarray(all_anchors),
+            (H, W),
+            model.nms_threshold,
+            valid_grid=(H // STRIDE, W // STRIDE)
+            if valid_hw is not None
+            else None,
+        )
+    )  # (P, 6): one fetch instead of three
+    valid = packed[:, 5] > 0.5
+    proposals = packed[valid, :4]
+    scores = packed[valid, 4]
 
     # host boundary #2: marker watershed (reference marker_watershed.py).
     # ECSEG_FAST_WATERSHED=1 swaps in the device minimax-flood fast path

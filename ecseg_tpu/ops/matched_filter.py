@@ -156,6 +156,90 @@ def get_thresholded_jax(
     return jnp.moveaxis(out, 0, -1) * cells[..., None]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("gaussian_stdev", "normal_threshold", "kernel_shape"),
+)
+def _get_thresholded_packed_jax(
+    fish_u8,
+    cells_packed,
+    gaussian_stdev: float,
+    normal_threshold: float,
+    color_sensitivity,
+    kernel_shape: Tuple[int, int],
+):
+    """Transfer-packed device twin of :func:`get_thresholded` for the
+    stat_fish hot path.  Inputs: the FISH channels only ((H, W, C-1) uint8 --
+    the DAPI channel never participates, reference stat_fish.py:73-88) and
+    the nuclei mask as a 1-bit host-packed bitmap; output: the boolean
+    per-channel center maps, 1-bit packed ((C-1, H, ceil(W/8)) uint8).
+
+    Rationale: this attachment moves ~27 MB/s each way, and the r3 bench
+    charged 1.8 s/2048^2-image to "matched filter (device)" -- almost all of
+    it the (H, W, 2) int32 result fetch (33 MB) plus the full-BGR upload.
+    Packed, the same program moves ~9 MB up / 1 MB down.  Values are
+    bit-identical: centers are boolean and the {0, 255} scaling is applied
+    by the caller (:func:`get_thresholded_unpack`)."""
+    import jax.numpy as jnp
+
+    from .packing import pack_mask_1bit_jax, unpack_mask_1bit_jax
+
+    kernel = jnp.asarray(
+        get_gaussian_proj_kernel(np.array(kernel_shape), gaussian_stdev)
+    )
+    fish = jnp.asarray(fish_u8)
+    h, w = fish.shape[0], fish.shape[1]
+    chans = jnp.moveaxis(fish.astype(jnp.float32), -1, 0)  # (C-1, H, W)
+    coeffs = conv2d_same_tf_jax(chans, kernel)
+    ch_max = jnp.max(chans, axis=(1, 2), keepdims=True)
+    max_pixels = jnp.logical_and(chans == ch_max, ch_max > 0)
+    centers = jnp.logical_or(coeffs > normal_threshold, max_pixels)
+    sens = jnp.asarray(color_sensitivity, jnp.float32).reshape(-1, 1, 1)
+    cells = unpack_mask_1bit_jax(cells_packed, w) != 0
+    out = jnp.logical_and(
+        jnp.logical_and(centers, chans > sens), cells[None]
+    )
+    return jnp.stack([pack_mask_1bit_jax(out[c]) for c in range(out.shape[0])])
+
+
+def get_thresholded_device_packed(
+    I: np.ndarray,
+    segmented_cells: np.ndarray,
+    gaussian_stdev: float,
+    normal_threshold: float,
+    color_sensitivity,
+    gaussian_kernel_shape,
+) -> np.ndarray:
+    """Drop-in device replacement for :func:`get_thresholded` (same host
+    API/values) built on :func:`_get_thresholded_packed_jax`: packs the
+    cell mask up, unpacks the center bitmaps down, and rescales by the
+    mask's foreground value (0/255 in the pipeline, reference
+    stat_fish.py:86 multiplies by the mask).  Returns a WRITABLE int32
+    (H, W, C-1) array ({0, 255}); callers mutate it in place
+    (count_blobs contract)."""
+    from .packing import pack_mask_1bit_host, unpack_mask_1bit
+
+    h, w = segmented_cells.shape
+    fish = np.ascontiguousarray(I[..., 1:])
+    cells_packed = pack_mask_1bit_host(segmented_cells)
+    packed = np.asarray(
+        _get_thresholded_packed_jax(
+            fish,
+            cells_packed,
+            float(gaussian_stdev),
+            float(normal_threshold),
+            tuple(np.asarray(color_sensitivity).tolist()),
+            tuple(gaussian_kernel_shape),
+        )
+    )
+    fg_value = int(segmented_cells.max()) if segmented_cells.any() else 0
+    out = np.empty((h, w, packed.shape[0]), np.int32)
+    for c in range(packed.shape[0]):
+        out[..., c] = unpack_mask_1bit(packed[c], w)
+    out *= fg_value
+    return out
+
+
 def get_boundaries(s: np.ndarray, line_thickness: int = 1) -> np.ndarray:
     """Label-boundary visualization (reference stat_fish.py:91-107): detects
     horizontal/vertical label changes with [1]*t + [-1]*t kernels; returns

@@ -66,3 +66,22 @@ def unpack_mask_1bit(packed: np.ndarray, w: int) -> np.ndarray:
     h = packed.shape[0]
     out = _LUT1[np.asarray(packed)].reshape(h, -1)
     return out[:, :w]
+
+
+def pack_mask_1bit_host(mask: np.ndarray) -> np.ndarray:
+    """Host twin of :func:`pack_mask_1bit_jax` (same little-endian bit
+    layout), for shrinking host->device uploads of binary masks."""
+    return np.packbits(
+        np.ascontiguousarray(mask != 0), axis=1, bitorder="little"
+    )
+
+
+def unpack_mask_1bit_jax(packed: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Device twin of :func:`unpack_mask_1bit`: (H, ceil(w/8)) uint8 ->
+    (H, w) uint8 {0, 1}."""
+    h = packed.shape[0]
+    bits = (
+        packed[:, :, None].astype(jnp.uint32)
+        >> jnp.arange(8, dtype=jnp.uint32)[None, None, :]
+    ) & 1
+    return bits.reshape(h, -1)[:, :w].astype(jnp.uint8)

@@ -128,6 +128,47 @@ def _decode_post_blob(blob: np.ndarray, w: int):
     return ok, labels, num_ec
 
 
+@functools.partial(
+    jax.jit, static_argnames=("forward_fn", "positions", "dtype")
+)
+def _segment_post_group_jit(
+    params, patches_g, forward_fn, positions, dtype=jnp.float32
+):
+    """Grouped twin of :func:`_segment_post_jit`: (G, N, 256, 256, 1) uint8
+    patch stacks of G same-geometry images -> (raw canvases (G, H, W) int32,
+    packed blobs (G, 1+rows, cols) uint8) in ONE dispatch.
+
+    Each dispatched call on this attachment costs a fixed ~35-45 ms relay
+    round trip, and a single image's 25-patch forward under-fills the MXU --
+    batching the forward over the whole group and scanning the (per-canvas)
+    post chain amortizes both.  Per-image results are bit-identical to the
+    ungrouped program: the conv batch axis is data-parallel and the post
+    scan body is the same per-canvas program."""
+    from ..ops.cc_pallas import stitch_labels_pallas
+
+    g, n = patches_g.shape[:2]
+    flat = patches_g.reshape((-1,) + patches_g.shape[2:])
+    label_patches = _patch_labels_fn(params, flat, forward_fn, dtype)
+    label_patches = label_patches.reshape((g, n) + label_patches.shape[1:])
+
+    def post(carry, lp):
+        labels = stitch_labels_pallas(lp, positions)
+        return carry, (labels, _post_blob(labels))
+
+    _, (raws, blobs) = jax.lax.scan(post, 0, label_patches)
+    return raws, blobs
+
+
+def _group_size() -> int:
+    """Images per grouped device dispatch on the single-chip path.
+    ECSEG_METASEG_GROUP=<n> overrides; <=1 disables grouping (the per-image
+    program)."""
+    try:
+        return int(os.environ.get("ECSEG_METASEG_GROUP", "8"))
+    except ValueError:
+        return 8
+
+
 def _prepare_image(image_path: str, save_dapi: bool = True):
     """Host stage: decode -> meta_preprocess -> save inverted DAPI ->
     patchify.  Runs on reader threads (runtime.batching.prefetch_map) so TIFF
@@ -507,6 +548,58 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                     yield i, I, num
 
             results = _sharded()
+    elif device_post and _group_size() > 1:
+        # single chip, grouped: G same-geometry images per dispatch -- ONE
+        # batched forward (G*25-patch convs fill the MXU) + the per-canvas
+        # post chain as an inner scan, G packed blobs in ONE fetch.  The
+        # ~40 ms relay round trip and the forward's batch inefficiency both
+        # amortize by G (the round-3 full-pipeline gap).  Partial groups at
+        # end-of-folder are zero-padded so one program serves the folder.
+        def _grouped():
+            group = _group_size()
+            buckets = {}  # positions -> [(idx, path, patches)]
+            results = {}  # idx -> (path, labels, num_ec)
+            cursor = 0
+
+            def flush(pos_key, items):
+                pad = group - len(items)
+                stacked = np.stack(
+                    [p for (_, _, p) in items]
+                    + [np.zeros_like(items[0][2])] * pad
+                )
+                with stage("metaseg.forward+post"):
+                    raws, blobs = _segment_post_group_jit(
+                        params, jnp.asarray(stacked), forward_fn, pos_key,
+                        jnp.float32,
+                    )
+                    blobs = np.asarray(blobs)
+                for k, (idx, path, _) in enumerate(items):
+                    ok, I, num = _decode_post_blob(blobs[k], int(raws.shape[2]))
+                    if not ok:
+                        I, num = _host_post(np.asarray(raws[k]).astype(np.int64))
+                    results[idx] = (path, I, num)
+
+            def emit():
+                nonlocal cursor
+                while cursor in results:
+                    yield results.pop(cursor)
+                    cursor += 1
+
+            for idx, (i, (patches, pos)) in enumerate(
+                prefetch_map(_prepare_image, image_paths)
+            ):
+                lst = buckets.setdefault(pos, [])
+                lst.append((idx, i, patches))
+                if len(lst) == group:
+                    flush(pos, lst)
+                    buckets[pos] = []
+                    yield from emit()
+            for pos_key, lst in buckets.items():
+                if lst:
+                    flush(pos_key, lst)
+            yield from emit()
+
+        results = _grouped()
     else:
         def _per_image():
             for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):

@@ -177,19 +177,18 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             from ..runtime.devicepath import use_device_path
 
             if use_device_path():
-                # fused device program (conv + max-pixel + gates); host twin
-                # kept below for CPU runs and parity tests
-                # np.array (not asarray): device buffers are read-only and
-                # the small-blob removal below mutates this map in place
-                thresholded = np.array(
-                    mf.get_thresholded_jax(
-                        I,
-                        segmented_cells,
-                        float(gaussian_stdev),
-                        float(normal_threshold),
-                        tuple(np.asarray(color_sensitivity).tolist()),
-                        tuple(gaussian_kernel_shape),
-                    )
+                # fused device program (conv + max-pixel + gates) with 1-bit
+                # packed transfers both ways (the raw int32 result fetch was
+                # ~33 MB at 2048^2 on a ~27 MB/s link); host twin kept below
+                # for CPU runs and parity tests.  Returns a writable array --
+                # the small-blob removal below mutates it in place.
+                thresholded = mf.get_thresholded_device_packed(
+                    I,
+                    segmented_cells,
+                    gaussian_stdev,
+                    normal_threshold,
+                    color_sensitivity,
+                    gaussian_kernel_shape,
                 )
             else:
                 thresholded = mf.get_thresholded(

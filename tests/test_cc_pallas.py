@@ -161,7 +161,7 @@ def test_vmem_gate_fallbacks_match_pallas(rng, monkeypatch):
         cc_pallas.flood_from_seeds_pallas(jnp.asarray(m), jnp.asarray(seeds))
     )
 
-    monkeypatch.setattr(cc_pallas, "_fits_vmem", lambda h, w: False)
+    monkeypatch.setattr(cc_pallas, "_fits_vmem", lambda h, w, op="": False)
     jax_clear = __import__("jax").clear_caches
     jax_clear()
     got_lab = np.asarray(cc_pallas.label_pallas(jnp.asarray(m)))

@@ -159,3 +159,46 @@ def test_get_thresholded_jax_matches_host(rng):
         get_thresholded_jax(I, cells, 1.5, 15.0, (70.0, 70.0), (7, 7))
     )
     np.testing.assert_array_equal(dev, host)
+
+def test_get_thresholded_device_packed_matches_host(rng):
+    """The transfer-packed device variant (FISH channels + 1-bit mask up,
+    1-bit center bitmaps down) must be value-identical to the host twin,
+    including mutability (count_blobs mutates the result in place)."""
+    from ecseg_tpu.ops.matched_filter import (
+        get_thresholded,
+        get_thresholded_device_packed,
+    )
+
+    for h, w in [(64, 80), (33, 47)]:  # w % 8 == 0 and ragged
+        I = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        cells = ((rng.random((h, w)) < 0.4) * 255).astype(np.uint8)
+        host = get_thresholded(I, cells, 1.5, 15.0, [70, 70], [7, 7])
+        dev = get_thresholded_device_packed(I, cells, 1.5, 15.0, [70, 70], [7, 7])
+        np.testing.assert_array_equal(dev, host)
+        dev[0, 0, 0] = 7  # writable (np.asarray of a device buffer is not)
+
+    # empty mask: {0} everywhere on both paths
+    empty = np.zeros((16, 24), np.uint8)
+    I = (rng.random((16, 24, 3)) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(
+        get_thresholded_device_packed(I, empty, 1.5, 15.0, [70, 70], [7, 7]),
+        get_thresholded(I, empty, 1.5, 15.0, [70, 70], [7, 7]),
+    )
+
+
+def test_pack_mask_1bit_host_roundtrip(rng):
+    from ecseg_tpu.ops.packing import (
+        pack_mask_1bit_host,
+        pack_mask_1bit_jax,
+        unpack_mask_1bit,
+        unpack_mask_1bit_jax,
+    )
+
+    m = rng.random((37, 53)) < 0.5
+    ph = pack_mask_1bit_host(m)
+    pj = np.asarray(pack_mask_1bit_jax(m))
+    np.testing.assert_array_equal(ph, pj)  # identical bit layout
+    np.testing.assert_array_equal(unpack_mask_1bit(ph, 53), m.astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(unpack_mask_1bit_jax(ph, 53)), m.astype(np.uint8)
+    )

@@ -141,3 +141,48 @@ def test_metaseg_main_empty_folder_still_writes_csv(tmp_path):
     df = pd.read_csv(csv)
     assert list(df.columns) == ["image name", "# of ec"]
     assert len(df) == 0
+
+def test_metaseg_grouped_single_chip_matches_per_image(tmp_path, monkeypatch, rng):
+    """The single-chip grouped device path (G images per dispatch: one
+    batched forward + scanned per-canvas post, ECSEG_METASEG_GROUP) must
+    produce byte-identical artifacts to the per-image program -- including
+    zero-padded partial groups and mixed geometries (input-order CSV rows)."""
+    import jax
+
+    from ecseg_tpu.models import metaseg_unet
+
+    tiny = metaseg_unet.init_params(
+        jax.random.PRNGKey(0), widths=(8, 16), bottleneck=32
+    )
+    monkeypatch.setattr(
+        metaseg, "load_model", lambda *a, **k: (tiny, metaseg._default_forward)
+    )
+    # force the single-device branch on the 8-device CPU test mesh
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(metaseg.jax, "devices", lambda *a, **k: [dev0])
+    monkeypatch.setenv("ECSEG_DEVICE_PIPELINE", "1")
+
+    def make_folder(d):
+        os.makedirs(d)
+        frng = np.random.default_rng(7)  # identical content per folder
+        for k in range(3):  # partial group (G=8) + two geometries
+            h, w = (320, 384) if k != 1 else (256, 320)
+            img = (frng.random((h, w)) * 60).astype(np.uint8)
+            img[40:120, 50:130] = 200
+            img[200 - 8 * k : 210, 200:206] = 180
+            cv2.imwrite(os.path.join(d, f"im{k}.tif"), img)
+
+    outs = {}
+    for mode, g in [("per_image", "1"), ("grouped", "8")]:
+        monkeypatch.setenv("ECSEG_METASEG_GROUP", g)
+        d = str(tmp_path / mode)
+        make_folder(d)
+        assert metaseg.main(config=Config(raw={"metaseg": {"inpath": d}})) == 0
+        files = {}
+        for rel in ["ec_quantification.csv"] + [
+            f"labels/im{k}.{ext}" for k in range(3) for ext in ("npy", "png")
+        ]:
+            with open(os.path.join(d, rel), "rb") as f:
+                files[rel] = f.read()
+        outs[mode] = files
+    assert outs["per_image"] == outs["grouped"]
