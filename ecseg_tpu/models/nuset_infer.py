@@ -276,12 +276,27 @@ def nuset_forward(
     scores = packed[valid, 4]
 
     # host boundary #2: marker watershed (reference marker_watershed.py).
-    # ECSEG_FAST_WATERSHED=1 swaps in the device minimax-flood fast path
-    # (ops/watershed_tpu) -- same marker placement, may differ from the
-    # parity result on exact ridge ties (see runtime/devicepath.fast_watershed)
-    from ..runtime.devicepath import fast_watershed, fast_watershed_check
+    # Default on the device pipeline is the parity-GATED device flood
+    # ('auto': keep the device result only when its per-image certificate
+    # proves order-independence, i.e. bit-equality with the host
+    # priority flood); ECSEG_FAST_WATERSHED picks host/on/check/auto
+    # explicitly (runtime/devicepath.fast_watershed_mode).
+    from ..runtime.devicepath import fast_watershed_check, fast_watershed_mode
 
-    if fast_watershed():
+    mode = fast_watershed_mode()
+    if mode == "auto":
+        from ..ops.watershed_tpu import nuset_marker_watershed_auto
+
+        out, n_unc = nuset_marker_watershed_auto(
+            scores, proposals, mask, min_score=model.bbox_min_score
+        )
+        if out is not None:
+            return out.astype(np.float32)
+        from ..runtime import fallbacks
+
+        fallbacks.record("fast_watershed_uncertain_px", n_unc)
+        fallbacks.record("fast_watershed_host_recompute")
+    elif mode in ("on", "check"):
         from ..ops.watershed_tpu import nuset_marker_watershed_fast
 
         if fast_watershed_check():
@@ -333,9 +348,24 @@ def _cleanup_pass(mask_f32, out_hw, nuclei_size_t):
     return pack_mask_1bit_jax(keep)
 
 
+def nuclei_segment_prepare(image: np.ndarray, resize_scale: float):
+    """Host prep stage of :func:`nuclei_segment` (rescale -> /16 crop ->
+    whole-image norm), split out so pipeline reader threads can overlap it
+    with the PREVIOUS image's device passes: the skimage-parity 0.3x
+    rescale of a 2048^2 image costs ~125 ms of f64 gaussian+zoom on this
+    host (scripts/profile_nuclei_segment.py), pure dead time on the device
+    critical path when run inline.  Bit-identical to the inline steps it
+    replaces -- same functions, same order."""
+    if resize_scale != 1:
+        image = rescale(image, resize_scale, anti_aliasing=True)
+    imheight, imwidth = image.shape
+    image = image[: imheight // 16 * 16, : imwidth // 16 * 16]
+    return image, whole_image_norm(image)
+
+
 def nuclei_segment(
     image: np.ndarray, model: NuSeTModel, nuclei_size_t: int,
-    device_cleanup: bool = None,
+    device_cleanup: bool = None, pre=None,
 ) -> np.ndarray:
     """reference src/utils.py:134-163: rescale 0.3 -> crop /16 -> pass 1
     (whole-image norm) -> pass 2 (foreground norm + watershed) -> clean ->
@@ -344,7 +374,9 @@ def nuclei_segment(
     The cleanup tail runs on device when ``device_cleanup`` (default: the
     pipeline device-path switch, runtime/devicepath) -- the host chain below
     stays as the parity oracle (tests/test_device_pipeline_e2e.py asserts
-    byte equality through stat_fish's main)."""
+    byte equality through stat_fish's main).  ``pre`` optionally supplies a
+    precomputed :func:`nuclei_segment_prepare` result (reader-thread
+    overlap; must have been built with this model's ``resize_scale``)."""
     if device_cleanup is None:
         from ..runtime.devicepath import use_device_path
 
@@ -356,15 +388,10 @@ def nuclei_segment(
         # prefilter that the device twin (plain bilinear matmul resize) does
         # not replicate -- keep such configs on the host chain
         device_cleanup = False
-    if resize_scale != 1:
-        image = rescale(image, resize_scale, anti_aliasing=True)
+    if pre is None:
+        pre = nuclei_segment_prepare(image, resize_scale)
+    image, image_wn = pre
 
-    imheight, imwidth = image.shape
-    imheight = imheight // 16 * 16
-    imwidth = imwidth // 16 * 16
-    image = image[:imheight, :imwidth]
-
-    image_wn = whole_image_norm(image)
     masks1 = nuset_forward(model, image_wn, pass_two=False)
 
     image_fg = foreground_norm(image, masks1)

@@ -638,7 +638,15 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         print("Saving labels: ", i, " to ", outpath)
         with stage("metaseg.write"):
             imgio.save_label_png(outpath + ".png", I.astype("uint8"))
-            np.save(outpath, I)
+            # always C-order: np.save records the memory layout in the npy
+            # header, and on TPU a fetched canvas can arrive column-major
+            # (XLA may pick a transposed host layout; astype's default
+            # order='K' then keeps it Fortran through the whole host post
+            # chain).  The reference writes C-ordered arrays (TF session
+            # fetches, reference src/metaseg.py:49), and the device branch's
+            # 2-bit blob decode is C-ordered -- found as a real host-vs-
+            # device byte mismatch on TPU hardware (scripts/parity_tpu.py).
+            np.save(outpath, np.ascontiguousarray(I))
         rows.append({"image name": path_split[1], "# of ec": num_ecDNA})
 
     df = pd.DataFrame(rows, columns=["image name", "# of ec"])

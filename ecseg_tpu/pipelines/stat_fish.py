@@ -117,13 +117,17 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
     first_fish, second_fish, third_fish = "green", "red", "aqua"
 
     def _decode(path):
-        """Reader-thread stage: BGR decode + u16->u8 (overlaps NuSeT device
-        time for the previous image)."""
+        """Reader-thread stage: BGR decode + u16->u8 + nuclei_segment's
+        host prep (0.3x skimage-parity rescale + /16 crop + whole-image
+        norm, ~130 ms at 2048^2) -- all overlap the NuSeT device time of
+        the previous image instead of sitting on its critical path."""
         if path.endswith(".tif"):
-            return imgio.u16_to_u8(imgio.imread_bgr8(path))
-        if path.endswith(".npy"):
-            return imgio.u16_to_u8(np.load(path))
-        raise AssertionError
+            I = imgio.u16_to_u8(imgio.imread_bgr8(path))
+        elif path.endswith(".npy"):
+            I = imgio.u16_to_u8(np.load(path))
+        else:
+            raise AssertionError
+        return I, nuset_infer.nuclei_segment_prepare(I[:, :, 0], resize_scale)
 
     from ..runtime.batching import prefetch_map
 
@@ -278,8 +282,11 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         blob_labeled = blob_labeled.astype(np.uint8)
 
         np.save(
+            # C-order normalization: the npy header records memory layout,
+            # and TPU fetches can arrive column-major (see the metaseg
+            # label save for the full story)
             f"{annotated_path}/{img_name}__segmentation_min_cut.npy",
-            labeled_segmented_cells,
+            np.ascontiguousarray(labeled_segmented_cells),
         )
         # write first, THEN check: the reference wraps these in bare asserts
         # (stat_fish.py:303-308), which `python -O` strips together with the
@@ -306,12 +313,12 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
 
     import concurrent.futures as cf
 
-    def _segment_and_tail(i, I, seg_model):
+    def _segment_and_tail(i, I, seg_model, pre):
         """One image end-to-end: NuSeT device passes + the host tail."""
         blue = I[:, :, 0]
         with stage("stat_fish.nuclei_segment"):
             segmented_cells = nuset_infer.nuclei_segment(
-                blue, seg_model, nuclei_size_t
+                blue, seg_model, nuclei_size_t, pre=pre
             )
         imheight, imwidth = segmented_cells.shape
         I = I[:imheight, :imwidth, :]
@@ -328,14 +335,14 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         # overlaps the NuSeT device passes of image i+1
         with cf.ThreadPoolExecutor(max_workers=1) as tailpool:
             pending = None
-            for i, I in prefetch_map(_decode, image_paths):
+            for i, (I, pre) in prefetch_map(_decode, image_paths):
                 path_split = os.path.split(i)
                 print("Processing image: ", i)
                 blue = I[:, :, 0]
 
                 with stage("stat_fish.nuclei_segment"):
                     segmented_cells = nuset_infer.nuclei_segment(
-                        blue, model, nuclei_size_t
+                        blue, model, nuclei_size_t, pre=pre
                     )
 
                 imheight, imwidth = segmented_cells.shape
@@ -371,19 +378,21 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
                 rpn_fg=jax.tree.map(put, model.rpn_fg),
             )
 
-        def _work(i, I, dev):
+        def _work(i, I, dev, pre):
             with jax.default_device(dev):
                 print("Processing image: ", i)
-                return _segment_and_tail(i, I, replicas[dev])
+                return _segment_and_tail(i, I, replicas[dev], pre)
 
         results = {}
         inflight = {}
         with cf.ThreadPoolExecutor(max_workers=len(devices)) as pool:
             first_done = scaling_factor != "auto"
-            for idx, (i, I) in enumerate(prefetch_map(_decode, image_paths)):
+            for idx, (i, (I, pre)) in enumerate(
+                prefetch_map(_decode, image_paths)
+            ):
                 path_split = os.path.split(i)
                 if not first_done:
-                    results[idx] = _work(i, I, devices[0])
+                    results[idx] = _work(i, I, devices[0], pre)
                     first_done = True
                     continue
                 # bound host memory: keep at most 2 images in flight per
@@ -392,7 +401,7 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
                     oldest = min(inflight)
                     results[oldest] = inflight.pop(oldest).result()
                 dev = devices[idx % len(devices)]
-                inflight[idx] = pool.submit(_work, i, I, dev)
+                inflight[idx] = pool.submit(_work, i, I, dev, pre)
             for k in sorted(inflight):
                 results[k] = inflight[k].result()
         dfs = [results[k] for k in sorted(results)]

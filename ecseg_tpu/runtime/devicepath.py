@@ -14,21 +14,40 @@ from __future__ import annotations
 import os
 
 
+def fast_watershed_mode() -> str:
+    """NuSeT marker-watershed execution mode, from ECSEG_FAST_WATERSHED:
+
+    - ``'host'``  (``0``/``off``/``host``): host priority-flood parity path
+      only;
+    - ``'auto'``  (``auto``, or UNSET when the device pipeline is on): run
+      the device minimax-flood WITH its per-image parity certificate; keep
+      the device result only when certificate-clean (then it equals the
+      host result bit-for-bit), recompute on host otherwise -- byte parity
+      maintained, device speed on the clean common case
+      (ops/watershed_tpu.nuset_marker_watershed_auto);
+    - ``'on'``    (``1``/``true``/``yes``): device fast path unconditionally
+      (may differ from host on order-dependent ridge ties);
+    - ``'check'`` (``check``): ``on`` + per-image permuted-flood tie
+      accounting (see :func:`fast_watershed_check`).
+    """
+    v = os.environ.get("ECSEG_FAST_WATERSHED", "").strip().lower()
+    if v in ("", "default"):
+        return "auto" if use_device_path() else "host"
+    if v in ("0", "false", "no", "off", "host"):
+        return "host"
+    if v == "auto":
+        return "auto"
+    if v == "check":
+        return "check"
+    return "on"
+
+
 def fast_watershed() -> bool:
-    """Opt-in throughput mode: run NuSeT's marker watershed as a device
-    minimax-flood program (ops/watershed_tpu.nuset_marker_watershed_fast)
-    instead of the host priority-flood parity path.  Default OFF -- the fast
-    path may differ from the host on exact ridge ties, so it is never chosen
-    implicitly (ECSEG_FAST_WATERSHED=1 enables it;
-    ECSEG_FAST_WATERSHED=check also counts tie-decided pixels per image,
-    see :func:`fast_watershed_check`)."""
-    return os.environ.get("ECSEG_FAST_WATERSHED", "").strip().lower() in (
-        "1",
-        "true",
-        "yes",
-        "on",
-        "check",
-    )
+    """True when the UNGATED device fast path is forced
+    (ECSEG_FAST_WATERSHED=1/check) -- the result may differ from the host
+    parity path on order-dependent ridge ties.  The default on the device
+    pipeline is the parity-GATED ``auto`` mode (:func:`fast_watershed_mode`)."""
+    return fast_watershed_mode() in ("on", "check")
 
 
 def fast_watershed_check() -> bool:

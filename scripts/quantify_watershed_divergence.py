@@ -19,16 +19,22 @@ touching-nuclei fields at the stat_fish pass-2 geometry:
 Runs on CPU or TPU (the fast pass is plain XLA).  Usage:
     python scripts/quantify_watershed_divergence.py [N]
 
-Recorded result (N=24, CPU, seed 0), also in README:
-    pixel agreement: mean=0.998208 min=0.996987
+Recorded result (N=24, CPU, seed 0, lexicographic flood + host-exact
+deterministic line rules), also in README:
+    pixel agreement: mean=0.998382 min=0.997207
     images with any divergence: 24/24 (100%)
-    divergent px: 16217 / 1099666 foreground (1.4747%)
-    tie px (order-dependence proxy): 1457 (0.1325% of foreground)
-The proxy undercounts host divergence ~11x: the flood also breaks minimax
+    divergent px: 14644 / 1099666 foreground (1.3317%)
+    tie px (order-dependence proxy): 1648 (0.1499% of foreground)
+The proxy undercounts host divergence ~9x: the flood also breaks minimax
 ties by propagation geometry (permutation-stable), and those can still
 differ from skimage's insertion-age order.  Divergence is confined to
 inter-nucleus ridge lines; nucleus COUNTS and marker placement are shared
-with the parity path.
+with the parity path.  NOTE: at this density (~40 touching nuclei) genuine
+age-dependent ties are pervasive, which is why the SOUND per-image gate
+(ECSEG_FAST_WATERSHED=auto, ops/watershed_tpu.nuset_marker_watershed_auto)
+exists: it keeps the device result only when the image has NO
+order-dependent decision, and recomputes on host otherwise -- byte parity
+always, device speed on tie-free images (tests/test_watershed_auto.py).
 """
 
 import os

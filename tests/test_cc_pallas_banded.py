@@ -103,7 +103,7 @@ def test_entry_points_route_through_banded(rng, small_bands, monkeypatch):
         cc_pallas.flood_from_seeds_pallas(jnp.asarray(m), jnp.asarray(seeds))
     )
 
-    monkeypatch.setattr(cc_pallas, "_fits_vmem", lambda h, w: False)
+    monkeypatch.setattr(cc_pallas, "_fits_vmem", lambda h, w, op="": False)
     jax.clear_caches()
     got_lab = np.asarray(cc_pallas.label_pallas(jnp.asarray(m)))
     got_cnt = tuple(int(v) for v in cc_pallas.count_cc_pallas(jnp.asarray(m)))

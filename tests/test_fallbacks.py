@@ -64,7 +64,17 @@ def test_pallas_vmem_gate_records(monkeypatch):
     # fallback, recorded
     h, w = 9000, 9000
     assert not cc_pallas._fits_vmem(h, w)
-    assert fallbacks.counts().get(fallbacks.PALLAS_VMEM, 0) >= 1
+    # records embed the geometry (round-4: a bench-tail fallback line must
+    # identify the culprit program): pallas_vmem_gate[9000x9000]
+    assert (
+        sum(
+            n
+            for k, n in fallbacks.counts().items()
+            if k.startswith(fallbacks.PALLAS_VMEM)
+        )
+        >= 1
+    )
+    assert f"{fallbacks.PALLAS_VMEM}[9000x9000]" in fallbacks.counts()
     # within an envelope: no new records -- in-VMEM for small maps, banded
     # for the 2048^2 microscopy class (a Pallas path, not a fallback)
     fallbacks.reset()

@@ -95,10 +95,18 @@ def test_metaseg_main_end_to_end(synthetic_folder, monkeypatch):
     assert os.path.exists(os.path.join(synthetic_folder, "labels", "sample.npy"))
     assert os.path.exists(os.path.join(synthetic_folder, "labels", "sample.png"))
     assert os.path.exists(os.path.join(synthetic_folder, "dapi", "sample.tif"))
-    labels = np.load(os.path.join(synthetic_folder, "labels", "sample.npy"))
+    npy_path = os.path.join(synthetic_folder, "labels", "sample.npy")
+    labels = np.load(npy_path)
     assert labels.shape == (320, 384)
     assert labels.dtype == np.int64
     assert set(np.unique(labels)).issubset({0, 1, 2, 3})
+    # the npy HEADER is part of the byte contract: on TPU a fetched canvas
+    # can arrive column-major and ride astype(order='K') through the host
+    # post chain into np.save, flipping fortran_order in the header while
+    # the values stay equal (real host-vs-device mismatch caught by
+    # scripts/parity_tpu.py on hardware); the save site must normalize
+    with open(npy_path, "rb") as f:
+        assert b"'fortran_order': False" in f.read(128)
     df = pd.read_csv(os.path.join(synthetic_folder, "ec_quantification.csv"))
     assert list(df.columns) == ["image name", "# of ec"]
     assert df.iloc[0]["image name"] == "sample.tif"
