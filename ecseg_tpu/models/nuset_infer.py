@@ -38,6 +38,7 @@ from ..ops.resize import rescale
 from ..ops.morphology import remove_small_objects
 from ..ops.watershed import anchor_size_from_mask, nuset_marker_watershed
 from . import nuset
+from ..runtime.progcache import cached_jit
 
 SCALES = np.array([0.5, 1, 2])
 RATIOS = np.array([0.125, 0.25, 0.5, 1, 2, 4, 8])
@@ -74,7 +75,7 @@ def init_nuset_model(
     )
 
 
-@jax.jit
+@cached_jit
 def _mask_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
     """Pass 1: normalized image (1, H, W, 1) -> fg mask, 1-BIT PACKED
     (Hb, ceil(Wb/8)) uint8.  ``valid_hw`` is a pair of TRACED scalars (not a
@@ -92,7 +93,7 @@ def _mask_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
     return pack_mask_1bit_jax(nuset.pred_mask(logits))
 
 
-@jax.jit
+@cached_jit
 def _mask_and_feat_pass(unet_params: Dict, image: jnp.ndarray, valid_hw=None):
     """Pass 2 front half: (packed mask bitmap, device-resident RPN feat)."""
     from ..ops.packing import pack_mask_1bit_jax
@@ -108,9 +109,7 @@ def _fetch_mask(packed_dev, Hb: int, Wb: int) -> np.ndarray:
     return unpack_mask_1bit(np.asarray(packed_dev), Wb).astype(np.float32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n")
-)
+@cached_jit(static_argnames=("pre_nms_top_n", "post_nms_top_n"))
 def _proposal_pass(
     rpn_params: Dict,
     feat: jnp.ndarray,
@@ -167,9 +166,7 @@ def _proposal_pass(
     return proposals, scores_out, valid
 
 
-@functools.partial(
-    jax.jit, static_argnames=("pre_nms_top_n", "post_nms_top_n")
-)
+@cached_jit(static_argnames=("pre_nms_top_n", "post_nms_top_n"))
 def _proposal_pass_packed(
     rpn_params: Dict,
     feat: jnp.ndarray,
@@ -321,7 +318,7 @@ def nuset_forward(
     ).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw",))
+@cached_jit(static_argnames=("out_hw",))
 def _cleanup_pass(mask_f32, out_hw, nuclei_size_t):
     """Device twin of the post-watershed cleanup chain (reference
     src/utils.py:153-163): clean_image -> rescale back -> min-max binarize

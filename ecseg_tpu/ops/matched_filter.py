@@ -25,6 +25,7 @@ import scipy.stats
 
 from .cc import regionprops, scipy_label
 from .conv_host import conv2d_same_tf
+from ..runtime.progcache import cached_jit
 
 
 def scipy_sampled_gaussian_kernel(kernel_shape, sigma: float = 1) -> np.ndarray:
@@ -118,9 +119,8 @@ def conv2d_same_tf_jax(x, kernel):
     return y[0] if squeeze_batch else y
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("gaussian_stdev", "normal_threshold", "kernel_shape"),
+@cached_jit(
+    static_argnames=("gaussian_stdev", "normal_threshold", "kernel_shape")
 )
 def get_thresholded_jax(
     I,
@@ -156,9 +156,8 @@ def get_thresholded_jax(
     return jnp.moveaxis(out, 0, -1) * cells[..., None]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("gaussian_stdev", "normal_threshold", "kernel_shape"),
+@cached_jit(
+    static_argnames=("gaussian_stdev", "normal_threshold", "kernel_shape")
 )
 def _get_thresholded_packed_jax(
     fish_u8,

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from .cc_pallas import label_pallas
 from .morphology_tpu import remove_small_objects_tpu
+from ..runtime.progcache import cached_jit
 
 
 def _label_and_roots(mask):
@@ -91,7 +92,7 @@ def count_HSR_tpu(chrom, fish, hsr_size_threshold):
     return count_colocalization_tpu(chrom, fish_big)
 
 
-@jax.jit
+@cached_jit
 def overlay_stats_tpu(red, green, nuclei, chrom, ec, hsr_size_threshold=20):
     """All ten meta_overlay statistics in one device program
     (reference meta_overlay.py:68-83 dataflow, identical values).

@@ -34,6 +34,7 @@ from ..models import metaseg_unet
 from ..ops import tiling
 from ..ops.cc import count_cc
 from ..ops.meta_post import meta_inference, meta_preprocess
+from ..runtime.progcache import cached_jit
 from ..runtime.trace import stage
 
 MODEL_NAME = "metaseg.h5"
@@ -53,18 +54,14 @@ def _segment_patches_impl(params, patches_u8, forward_fn, positions, dtype):
     return tiling.stitch_argmax_jax(probs, positions)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("forward_fn", "positions", "dtype")
-)
+@cached_jit(static_argnames=("forward_fn", "positions", "dtype"))
 def _segment_patches_jit(
     params, patches_u8, forward_fn, positions, dtype=jnp.float32
 ):
     return _segment_patches_impl(params, patches_u8, forward_fn, positions, dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("forward_fn", "positions", "dtype")
-)
+@cached_jit(static_argnames=("forward_fn", "positions", "dtype"))
 def _segment_post_jit(
     params, patches_u8, forward_fn, positions, dtype=jnp.float32
 ):
@@ -84,7 +81,7 @@ def _segment_post_jit(
     return labels, _post_blob(labels)
 
 
-@jax.jit
+@cached_jit
 def _post_blob_jit(labels):
     """Module-scope jitted twin of :func:`_post_blob` for callers that
     already hold the stitched label canvas (the sharded folder path).  Must
@@ -128,9 +125,7 @@ def _decode_post_blob(blob: np.ndarray, w: int):
     return ok, labels, num_ec
 
 
-@functools.partial(
-    jax.jit, static_argnames=("forward_fn", "positions", "dtype")
-)
+@cached_jit(static_argnames=("forward_fn", "positions", "dtype"))
 def _segment_post_group_jit(
     params, patches_g, forward_fn, positions, dtype=jnp.float32
 ):
@@ -561,8 +556,31 @@ def main(argv=None, config: Optional[Config] = None) -> int:
             results = {}  # idx -> (path, labels, num_ec)
             cursor = 0
 
+            def geo_group(pos_key) -> int:
+                """Per-geometry group cap: the grouped forward runs ONE conv
+                batch over group*len(positions) patches, and its HLO temps
+                scale with that product -- at 2048^2 (121 patches/image) the
+                8-image group needs 21 GB of HBM on a 15.75 GB chip
+                (measured OOM, PROGCACHE_TPU run 1).  Cap the patch product
+                instead of the image count so 1024^2-and-below folders keep
+                the full group while big geometries clamp to what fits."""
+                budget = int(
+                    os.environ.get("ECSEG_METASEG_PATCH_BUDGET", "256")
+                )
+                return max(1, min(group, budget // max(1, len(pos_key))))
+
             def flush(pos_key, items):
-                pad = group - len(items)
+                # pad partial groups to the next power of two (not the full
+                # group): one program per occupied size bucket instead of
+                # 8x overcompute on a 1-image folder; the executable cache
+                # (runtime/progcache) absorbs the extra compiles across
+                # processes
+                g = geo_group(pos_key)
+                padded = 1
+                while padded < len(items):
+                    padded *= 2
+                padded = min(padded, g)
+                pad = padded - len(items)
                 stacked = np.stack(
                     [p for (_, _, p) in items]
                     + [np.zeros_like(items[0][2])] * pad
@@ -590,7 +608,7 @@ def main(argv=None, config: Optional[Config] = None) -> int:
             ):
                 lst = buckets.setdefault(pos, [])
                 lst.append((idx, i, patches))
-                if len(lst) == group:
+                if len(lst) == geo_group(pos):
                     flush(pos, lst)
                     buckets[pos] = []
                     yield from emit()

@@ -134,13 +134,35 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
     dfs = []
     path_split = None
 
-    def _tail(i, I, segmented_cells):
+    import threading
+
+    # Gates the reference's first-image 'auto' scale resolution (reference
+    # stat_fish.py:228) when tails run on parallel worker threads: the
+    # FIRST image's tail resolves the scale and sets the event; later tails
+    # may run their min-cut concurrently but block here until the numeric
+    # scale exists.  Pre-set when the config already carries a number.
+    _scale_ready = threading.Event()
+    if scaling_factor != "auto":
+        _scale_ready.set()
+
+    def _tail(i, I, segmented_cells, first=False):
+        try:
+            return _tail_impl(i, I, segmented_cells, first)
+        except BaseException:
+            # unblock peers parked on the scale gate; the primary error
+            # still surfaces first (futures are drained in submission order)
+            _scale_ready.set()
+            raise
+
+    def _tail_impl(i, I, segmented_cells, first=False):
         """Everything after nuclei segmentation: min-cut, matched filter,
         region statistics, image writes.  Host-dominant -- runs on a worker
-        thread so it overlaps the NEXT image's NuSeT device passes
-        (steady-state per-image wall time ~ max(host tail, device), not
-        their sum).  Tails execute strictly in submission order, so the
-        reference's first-image 'auto' scale resolution stays safe."""
+        thread pool so tails of several images overlap each other AND the
+        NEXT image's NuSeT device passes (steady-state per-image wall time
+        ~ max(device per image, host tail / n_workers), not their sum).
+        Results are collected in submission order, so CSV bytes match the
+        sequential path; the 'auto' scale resolution is serialized via
+        ``_scale_ready``."""
         nonlocal scaling_factor
         path_split = os.path.split(i)
         img_name = os.path.basename(i)[:-4]
@@ -160,11 +182,18 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         # NOTE: like the reference (stat_fish.py:228), 'auto' resolves on the
         # FIRST image and the resulting numeric scale is reused for the rest
         # of the batch.
-        scaling_factor = (
-            scaling_factor
-            if scaling_factor != "auto"
-            else mf.get_scale(labeled_segmented_cells, target_median_nuclei_size)
-        )
+        if first:
+            try:
+                if scaling_factor == "auto":
+                    scaling_factor = mf.get_scale(
+                        labeled_segmented_cells, target_median_nuclei_size
+                    )
+            finally:
+                # set even on failure so concurrent tails don't deadlock
+                # behind an exception in the first image
+                _scale_ready.set()
+        else:
+            _scale_ready.wait()
         sf = scaling_factor
 
         segmented_cells_copy = segmented_cells.copy()
@@ -313,7 +342,7 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
 
     import concurrent.futures as cf
 
-    def _segment_and_tail(i, I, seg_model, pre):
+    def _segment_and_tail(i, I, seg_model, pre, first=False):
         """One image end-to-end: NuSeT device passes + the host tail."""
         blue = I[:, :, 0]
         with stage("stat_fish.nuclei_segment"):
@@ -323,7 +352,7 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         imheight, imwidth = segmented_cells.shape
         I = I[:imheight, :imwidth, :]
         segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
-        return _tail(i, I, segmented_cells)
+        return _tail(i, I, segmented_cells, first)
 
     devices = jax.devices()
     shard = len(devices) > 1 and os.environ.get(
@@ -331,11 +360,23 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
     ).strip().lower() not in ("0", "false", "no", "off")
 
     if not shard:
-        # single device: one-image lookahead -- the host tail of image i
-        # overlaps the NuSeT device passes of image i+1
-        with cf.ThreadPoolExecutor(max_workers=1) as tailpool:
-            pending = None
-            for i, (I, pre) in prefetch_map(_decode, image_paths):
+        # single device: the host tail of image i (min-cut + region stats +
+        # writes, ~2x the device time per image at 2048^2) overlaps BOTH the
+        # NuSeT device passes of later images and the tails of other images
+        # -- the tail is host-dominant and its numpy/ctypes/cv2 sections
+        # release the GIL, so a small pool drains tails at device speed.
+        # Results are collected strictly in submission order (CSV bytes
+        # identical to a sequential run).
+        from collections import deque
+
+        tail_workers = max(
+            1, int(os.environ.get("ECSEG_STAT_FISH_TAIL_WORKERS", "2") or 2)
+        )
+        with cf.ThreadPoolExecutor(max_workers=tail_workers) as tailpool:
+            inflight = deque()
+            for idx, (i, (I, pre)) in enumerate(
+                prefetch_map(_decode, image_paths)
+            ):
                 path_split = os.path.split(i)
                 print("Processing image: ", i)
                 blue = I[:, :, 0]
@@ -349,11 +390,14 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
                 I = I[:imheight, :imwidth, :]
                 segmented_cells = segmented_cells[: I.shape[0], : I.shape[1]]
 
-                if pending is not None:
-                    dfs.append(pending.result())
-                pending = tailpool.submit(_tail, i, I, segmented_cells)
-            if pending is not None:
-                dfs.append(pending.result())
+                # bound host memory: at most workers+1 tails in flight
+                while len(inflight) > tail_workers:
+                    dfs.append(inflight.popleft().result())
+                inflight.append(
+                    tailpool.submit(_tail, i, I, segmented_cells, idx == 0)
+                )
+            while inflight:
+                dfs.append(inflight.popleft().result())
     else:
         # multi-chip: images are embarrassingly parallel (reference
         # src/stat_fish.py:199-308 is a per-image loop), so fan them out
@@ -378,10 +422,10 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
                 rpn_fg=jax.tree.map(put, model.rpn_fg),
             )
 
-        def _work(i, I, dev, pre):
+        def _work(i, I, dev, pre, first=False):
             with jax.default_device(dev):
                 print("Processing image: ", i)
-                return _segment_and_tail(i, I, replicas[dev], pre)
+                return _segment_and_tail(i, I, replicas[dev], pre, first)
 
         results = {}
         inflight = {}
@@ -392,7 +436,7 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             ):
                 path_split = os.path.split(i)
                 if not first_done:
-                    results[idx] = _work(i, I, devices[0], pre)
+                    results[idx] = _work(i, I, devices[0], pre, first=True)
                     first_done = True
                     continue
                 # bound host memory: keep at most 2 images in flight per

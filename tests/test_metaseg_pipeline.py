@@ -181,8 +181,21 @@ def test_metaseg_grouped_single_chip_matches_per_image(tmp_path, monkeypatch, rn
             cv2.imwrite(os.path.join(d, f"im{k}.tif"), img)
 
     outs = {}
-    for mode, g in [("per_image", "1"), ("grouped", "8")]:
+    # "clamped" drives the per-geometry patch-budget cap (a 2048^2 8-image
+    # group OOMs HBM on the chip -- the budget clamps the patch product and
+    # partial groups pad to the next power of two, not the full G); with a
+    # budget of 4 (< patches/image here) every flush runs at g_eff=1, the
+    # worst case for the padding/ordering logic
+    for mode, g, budget in [
+        ("per_image", "1", None),
+        ("grouped", "8", None),
+        ("clamped", "8", "4"),
+    ]:
         monkeypatch.setenv("ECSEG_METASEG_GROUP", g)
+        if budget is None:
+            monkeypatch.delenv("ECSEG_METASEG_PATCH_BUDGET", raising=False)
+        else:
+            monkeypatch.setenv("ECSEG_METASEG_PATCH_BUDGET", budget)
         d = str(tmp_path / mode)
         make_folder(d)
         assert metaseg.main(config=Config(raw={"metaseg": {"inpath": d}})) == 0
@@ -194,3 +207,4 @@ def test_metaseg_grouped_single_chip_matches_per_image(tmp_path, monkeypatch, rn
                 files[rel] = f.read()
         outs[mode] = files
     assert outs["per_image"] == outs["grouped"]
+    assert outs["per_image"] == outs["clamped"]
