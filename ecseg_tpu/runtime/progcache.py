@@ -188,14 +188,26 @@ class CachedJit:
             raise
 
     def _build(self, all_kw):
+        import time as _time
+
+        debug = os.environ.get("ECSEG_PROG_CACHE_DEBUG", "") not in ("", "0")
+        t0 = _time.perf_counter()
         lowered = self._jit.lower(**all_kw)
+        t_lower = _time.perf_counter() - t0
         path = os.path.join(
             cache_dir(), f"{self._name}-{self._disk_key(lowered)}.pjrt"
         )
         if os.path.exists(path):
             try:
+                t0 = _time.perf_counter()
                 ex = self._load(path)
                 self.stats.loads += 1
+                if debug:
+                    print(
+                        f"[progcache] {self._name}: lower {t_lower:.1f}s "
+                        f"load {_time.perf_counter() - t0:.1f}s (HIT)",
+                        flush=True,
+                    )
                 return ex
             except Exception:
                 from . import fallbacks
@@ -203,8 +215,15 @@ class CachedJit:
                 fallbacks.record("progcache_error")
                 self.stats.errors += 1
                 # corrupt / incompatible entry: recompile and overwrite
+        t0 = _time.perf_counter()
         compiled = lowered.compile()
         self.stats.compiles += 1
+        if debug:
+            print(
+                f"[progcache] {self._name}: lower {t_lower:.1f}s "
+                f"compile {_time.perf_counter() - t0:.1f}s (MISS)",
+                flush=True,
+            )
         try:
             self._store(path, compiled)
         except Exception:

@@ -15,6 +15,12 @@ path.  Reports per-class IoU / mean IoU / pixel accuracy per arch as JSON
 lines; the recorded result lives in the README perf section.
 
 Usage: python scripts/compare_archs.py [--steps 400] [--batch 16]
+       python scripts/compare_archs.py --sweep 400,2000,6000
+
+``--sweep`` trains BOTH archs from scratch at each budget on the SAME
+synthetic fields and held-out eval set (VERDICT r3 item 7: the 400-step
+point alone shows xl undertrained, not where it overtakes half-width),
+then prints a markdown IoU-vs-budget table for the README.
 """
 
 import argparse
@@ -173,6 +179,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--n-train", type=int, default=10)
     ap.add_argument("--n-eval", type=int, default=4)
+    ap.add_argument(
+        "--sweep",
+        help="comma-separated step budgets; trains both archs at each and "
+        "prints the IoU-vs-budget markdown table",
+    )
     args = ap.parse_args()
 
     from ecseg_tpu.runtime.hostmem import tune_host_allocator
@@ -184,22 +195,39 @@ def main():
     train_pairs = [synth_pair(rng) for _ in range(args.n_train)]
     eval_pairs = [synth_pair(rng) for _ in range(args.n_eval)]
 
-    results = []
-    for arch in ("default", "xl"):
-        r = train_arch(
-            arch, train_pairs, eval_pairs, args.steps, args.batch,
-            args.lr, args.seed,
-        )
-        results.append(r)
-        print(json.dumps(r), flush=True)
-
-    d, x = results
-    print(
-        f"\nmean IoU: half-width {d['mean_iou']:.4f} vs xl {x['mean_iou']:.4f} "
-        f"(gap {x['mean_iou'] - d['mean_iou']:+.4f}); "
-        f"ec IoU {d['iou_ec']:.4f} vs {x['iou_ec']:.4f}",
-        file=sys.stderr,
+    budgets = (
+        [int(s) for s in args.sweep.split(",")] if args.sweep else [args.steps]
     )
+    by_budget = {}
+    for steps in budgets:
+        results = []
+        for arch in ("default", "xl"):
+            r = train_arch(
+                arch, train_pairs, eval_pairs, steps, args.batch,
+                args.lr, args.seed,
+            )
+            results.append(r)
+            print(json.dumps(r), flush=True)
+        by_budget[steps] = results
+        d, x = results
+        print(
+            f"\n[{steps} steps] mean IoU: half-width {d['mean_iou']:.4f} vs "
+            f"xl {x['mean_iou']:.4f} (gap {x['mean_iou'] - d['mean_iou']:+.4f}); "
+            f"ec IoU {d['iou_ec']:.4f} vs {x['iou_ec']:.4f}",
+            file=sys.stderr, flush=True,
+        )
+
+    if args.sweep:
+        print("\n| steps | half mIoU | xl mIoU | half ec IoU | xl ec IoU | "
+              "half train s | xl train s |", file=sys.stderr)
+        print("|---|---|---|---|---|---|---|", file=sys.stderr)
+        for steps, (d, x) in sorted(by_budget.items()):
+            print(
+                f"| {steps} | {d['mean_iou']:.3f} | {x['mean_iou']:.3f} | "
+                f"{d['iou_ec']:.3f} | {x['iou_ec']:.3f} | {d['train_s']:.0f} "
+                f"| {x['train_s']:.0f} |",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":
