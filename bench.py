@@ -159,17 +159,26 @@ def build(
             return labels.reshape(g, -1)[:, 0]  # keep per-tile liveness
         labels = labels.reshape((g, -1) + labels.shape[1:])
 
-        def post(carry, lab):
+        def post_one(lab):
             canvas = stitch_labels_pallas(lab, positions)
             if stage == "stitch":
-                return carry, canvas[0, 0] + canvas[-1, -1]
+                return canvas[0, 0] + canvas[-1, -1]
             out, _ok = meta_inference_tpu(canvas)
             if stage == "meta":
-                return carry, out[0, 0] + out[-1, -1]
-            return carry, count_roots_tpu(out == 3)
+                return out[0, 0] + out[-1, -1]
+            return count_roots_tpu(out == 3)
 
-        _, counts = jax.lax.scan(post, 0, labels)
-        return counts
+        if os.environ.get("ECSEG_BENCH_POST", "vmap") == "scan":
+            # round-4 form: one canvas at a time.  The vmapped default
+            # batches every XLA stage (the sort chains, cumsums, morphology
+            # shifts) across the group's G canvases -- the Pallas fixpoints
+            # still serialize as grid steps, but the ~1.2 ms fixed cost of
+            # each 1M-element sort amortizes G-fold (VERDICT r4 item 2).
+            _, counts = jax.lax.scan(
+                lambda c, lab: (c, post_one(lab)), 0, labels
+            )
+            return counts
+        return jax.vmap(post_one)(labels)
 
     @jax.jit
     def run(params, chunks):  # (NCHUNKS, BATCH, 25, 256, 256, 1) -> counts

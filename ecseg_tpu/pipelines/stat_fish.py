@@ -298,6 +298,8 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             f"{annotated_path}/{img_name}_lsq_n{normal_threshold}"
             f"_std{format(gaussian_stdev, '.2f')}_s{min_cc_size}_{thresholds_abbr}.tif"
         )
+        trace_vis = stage("stat_fish.tail_visuals")
+        trace_vis.__enter__()
         boundaries = mf.get_boundaries(
             labeled_segmented_cells, line_thickness=line_thickness
         )
@@ -309,7 +311,10 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         if blob_labeled.shape[-1] > 3:
             blob_labeled = mf.merge_channels(blob_labeled, AQUA_RGB)
         blob_labeled = blob_labeled.astype(np.uint8)
+        trace_vis.__exit__(None, None, None)
 
+        trace_wr = stage("stat_fish.tail_writes")
+        trace_wr.__enter__()
         np.save(
             # C-order normalization: the npy header records memory layout,
             # and TPU fetches can arrive column-major (see the metaseg
@@ -338,6 +343,7 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         )
         _must_write(f"{annotated_path}/{img_name}_original.tif", I)
         _must_write(lsq_path, blob_labeled)
+        trace_wr.__exit__(None, None, None)
         return df
 
     import concurrent.futures as cf
@@ -374,9 +380,20 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
         )
         with cf.ThreadPoolExecutor(max_workers=tail_workers) as tailpool:
             inflight = deque()
-            for idx, (i, (I, pre)) in enumerate(
-                prefetch_map(_decode, image_paths)
-            ):
+            # critical-path accounting (VERDICT r4 item 5): the MAIN thread's
+            # wall time is decode-wait + nuclei_segment + tail-wait (+ small
+            # glue); the tail stages (min_cut/matched_filter/region_stats/
+            # writes) run on worker threads and overlap, so their sums are
+            # NOT the critical path -- these two timers make the main-thread
+            # rows sum to the measured wall
+            it = iter(prefetch_map(_decode, image_paths))
+            idx = 0
+            while True:
+                with stage("stat_fish.decode_wait"):
+                    nxt = next(it, None)
+                if nxt is None:
+                    break
+                i, (I, pre) = nxt
                 path_split = os.path.split(i)
                 print("Processing image: ", i)
                 blue = I[:, :, 0]
@@ -392,12 +409,15 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
 
                 # bound host memory: at most workers+1 tails in flight
                 while len(inflight) > tail_workers:
-                    dfs.append(inflight.popleft().result())
+                    with stage("stat_fish.tail_wait"):
+                        dfs.append(inflight.popleft().result())
                 inflight.append(
                     tailpool.submit(_tail, i, I, segmented_cells, idx == 0)
                 )
+                idx += 1
             while inflight:
-                dfs.append(inflight.popleft().result())
+                with stage("stat_fish.tail_wait"):
+                    dfs.append(inflight.popleft().result())
     else:
         # multi-chip: images are embarrassingly parallel (reference
         # src/stat_fish.py:199-308 is a per-image loop), so fan them out

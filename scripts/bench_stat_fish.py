@@ -89,7 +89,8 @@ def run_once(inpath: str) -> float:
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if pos else 6
     from ecseg_tpu.runtime.hostmem import tune_host_allocator
 
     tune_host_allocator()
@@ -122,8 +123,22 @@ def main():
             "seconds_per_image": round(dt / n, 2),
             "n_images": n,
             "top_stage": f"{top} ({stages.get(top, 0):.1f}s of {dt:.1f}s)",
+            "stages_s": {
+                k: round(v, 2)
+                for k, v in sorted(stages.items(), key=lambda kv: -kv[1])
+            },
+            "wall_s": round(dt, 2),
         }
         print(json.dumps(result), flush=True)
+        # --out <path>: ALSO write the record as a standalone valid-JSON
+        # file -- the r2/r3/r4 BENCH_STATFISH artifacts were raw log
+        # captures with the JSON line buried at the end and did not parse
+        # (VERDICT r4 item 7); logs belong in a separate .log file
+        if "--out" in sys.argv:
+            out_path = sys.argv[sys.argv.index("--out") + 1]
+            with open(out_path, "w") as f:
+                json.dump(result, f, indent=1)
+                f.write("\n")
 
 
 if __name__ == "__main__":

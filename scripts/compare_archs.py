@@ -196,7 +196,9 @@ def main():
     eval_pairs = [synth_pair(rng) for _ in range(args.n_eval)]
 
     budgets = (
-        [int(s) for s in args.sweep.split(",")] if args.sweep else [args.steps]
+        list(dict.fromkeys(int(s.strip()) for s in args.sweep.split(",") if s.strip()))
+        if args.sweep
+        else [args.steps]
     )
     by_budget = {}
     for steps in budgets:

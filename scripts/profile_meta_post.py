@@ -155,6 +155,44 @@ def main():
     bench("fill_holes_class(1)", lambda x: _fill_holes_class(x, 1), imgs)
     bench("meta_inference FULL", lambda x: meta_inference_tpu(x)[0], imgs)
 
+    if "--vmap" in sys.argv:
+        # scan-vs-vmap comparison (VERDICT r4 item 2): the scan rows above
+        # process one canvas per step; these rows run the SAME stage vmapped
+        # over all N canvases in one call -- the Pallas fixpoints become
+        # sequential grid steps (no change) while every XLA stage (sort
+        # chains, cumsums, morphology shifts) batches, so the delta is the
+        # batching win of the group post chain
+        def bench_vmap(name, fn, xs):
+            @jax.jit
+            def batched(xs):
+                r = jax.vmap(fn)(xs)
+                return jax.tree_util.tree_reduce(
+                    lambda a, b: a + jnp.sum(b).astype(jnp.int32),
+                    r,
+                    jnp.int32(0),
+                )
+
+            np.asarray(batched(xs))  # compile
+            t0 = time.perf_counter()
+            reps = 3
+            for _ in range(reps):
+                np.asarray(batched(xs))
+            dt = (time.perf_counter() - t0) / reps
+            print(
+                f"{name} [vmap x{len(xs)}]: {dt / len(xs) * 1000:.2f} ms/iter "
+                f"(call {dt * 1000:.0f} ms)",
+                flush=True,
+            )
+
+        bench_vmap("label_pallas", lambda m: label_pallas(m), masks)
+        bench_vmap("size_thresh", lambda x: _size_thresh(x, hw)[0], imgs)
+        bench_vmap(
+            "metaphase_removal", lambda x: _metaphase_removal(x, hw)[0], imgs
+        )
+        bench_vmap("merge_comp(1)", lambda x: _merge_comp(x, 1, hw), imgs)
+        bench_vmap("fill_holes_class(1)", lambda x: _fill_holes_class(x, 1), imgs)
+        bench_vmap("meta_inference FULL", lambda x: meta_inference_tpu(x)[0], imgs)
+
 
 if __name__ == "__main__":
     main()
