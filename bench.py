@@ -168,17 +168,16 @@ def build(
                 return out[0, 0] + out[-1, -1]
             return count_roots_tpu(out == 3)
 
-        if os.environ.get("ECSEG_BENCH_POST", "vmap") == "scan":
-            # round-4 form: one canvas at a time.  The vmapped default
-            # batches every XLA stage (the sort chains, cumsums, morphology
-            # shifts) across the group's G canvases -- the Pallas fixpoints
-            # still serialize as grid steps, but the ~1.2 ms fixed cost of
-            # each 1M-element sort amortizes G-fold (VERDICT r4 item 2).
-            _, counts = jax.lax.scan(
-                lambda c, lab: (c, post_one(lab)), 0, labels
-            )
-            return counts
-        return jax.vmap(post_one)(labels)
+        if os.environ.get("ECSEG_BENCH_POST", "scan") == "vmap":
+            # vmapping the post over the G canvases batches every XLA stage
+            # but measured 54.8 vs the scan's 62.7 t/s on chip (r5: batched
+            # sorts/morphology do NOT amortize -- they are bandwidth-bound
+            # -- while the vmapped Pallas grid adds overhead); kept as a
+            # toggle because the vmapped form COMPILES 3x faster at 2048^2
+            # (67s vs 276s), which scripts may exploit
+            return jax.vmap(post_one)(labels)
+        _, counts = jax.lax.scan(lambda c, lab: (c, post_one(lab)), 0, labels)
+        return counts
 
     @jax.jit
     def run(params, chunks):  # (NCHUNKS, BATCH, 25, 256, 256, 1) -> counts

@@ -110,13 +110,26 @@ def flops_per_patch(
     return f
 
 
-def forward_cat1(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
-    """Everything up to (and including) the level-1 skip concatenation:
-    returns the (N, H, W, 2*width1) input of ``dec1_1``.  Split out so the
-    fused decoder-tail kernel (ops/fused_tail) can take over from here on
-    the bf16 throughput path; :func:`forward` composes this with the XLA
-    tail, so both paths share one trunk definition."""
+def _dec_first(skip, x, kernel, bias):
+    """The decoder's first conv WITHOUT materializing the skip concat:
+    ``conv(concat([skip, x]), K) == conv(skip, K[:, :, :Cs]) +
+    conv(x, K[:, :, Cs:])`` -- the concat buffer (the largest activations
+    in the network, 2x the level width at 256^2) never touches HBM.  Used
+    on the bf16 THROUGHPUT path only: the split changes f32 accumulation
+    order (two partial sums + add vs one dot), so the f32 parity path
+    keeps the literal concat form (bit-compatible with the TF goldens)."""
+    cs = skip.shape[-1]
+    ya = conv2d(skip.astype(x.dtype), kernel[:, :, :cs, :])
+    yb = conv2d(x, kernel[:, :, cs:, :], bias)
+    return relu(ya + yb)
+
+
+def _trunk_to_level1(params: Dict, x: jnp.ndarray, dtype):
+    """Encoder + bottleneck + decoder down THROUGH up1: returns
+    (level-1 skip, upsampled level-1 feature) -- the two inputs of
+    dec1_1.  bf16 runs the concat-free split decoder (see _dec_first)."""
     levels = num_levels(params)
+    split = dtype != jnp.float32
     x = x.astype(dtype)
     x = x / jnp.asarray(255.0, dtype)
 
@@ -134,18 +147,35 @@ def forward_cat1(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndar
         x = relu(
             conv2d_transpose(x, params[f"up{i}"]["kernel"], params[f"up{i}"]["bias"])
         )
-        x = jnp.concatenate([skips[i - 1].astype(x.dtype), x], axis=-1)
-        x = relu(conv2d(x, params[f"dec{i}_1"]["kernel"], params[f"dec{i}_1"]["bias"]))
+        k, b = params[f"dec{i}_1"]["kernel"], params[f"dec{i}_1"]["bias"]
+        if split:
+            x = _dec_first(skips[i - 1], x, k, b)
+        else:
+            x = jnp.concatenate([skips[i - 1].astype(x.dtype), x], axis=-1)
+            x = relu(conv2d(x, k, b))
         x = relu(conv2d(x, params[f"dec{i}_2"]["kernel"], params[f"dec{i}_2"]["bias"]))
 
     x = relu(conv2d_transpose(x, params["up1"]["kernel"], params["up1"]["bias"]))
-    return jnp.concatenate([skips[0].astype(x.dtype), x], axis=-1)
+    return skips[0], x
+
+
+def forward_cat1(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """Everything up to (and including) the level-1 skip concatenation:
+    returns the (N, H, W, 2*width1) input of ``dec1_1``.  Split out so the
+    fused decoder-tail kernel (ops/fused_tail) can take over from here on
+    the bf16 throughput path; :func:`forward` shares the same trunk."""
+    s1, xu = _trunk_to_level1(params, x, dtype)
+    return jnp.concatenate([s1.astype(xu.dtype), xu], axis=-1)
 
 
 def forward(params: Dict, x: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
     """(N, H, W, C) patches -> (N, H, W, num_classes) softmax probabilities."""
-    x = forward_cat1(params, x, dtype=dtype)
-    x = relu(conv2d(x, params["dec1_1"]["kernel"], params["dec1_1"]["bias"]))
+    s1, xu = _trunk_to_level1(params, x, dtype)
+    k, b = params["dec1_1"]["kernel"], params["dec1_1"]["bias"]
+    if dtype != jnp.float32:
+        x = _dec_first(s1, xu, k, b)
+    else:
+        x = relu(conv2d(jnp.concatenate([s1.astype(xu.dtype), xu], axis=-1), k, b))
     x = relu(conv2d(x, params["dec1_2"]["kernel"], params["dec1_2"]["bias"]))
     logits = conv2d(x, params["head"]["kernel"], params["head"]["bias"])
     # Softmax in fp32 for a stable, parity-safe probability map.

@@ -460,6 +460,432 @@ def _segscan_max_axis(r, mp, axis, size, border, n_strips: int = 1):
     )
 
 
+def _sweep3x3_mc(lab, cls, big):
+    """min over SAME-CLASS neighbors in the 3x3 window.  Non-separable:
+    class equality gates each of the 8 neighbor contributions, so the
+    separable window-min trick of :func:`_sweep3x3` does not apply.  The
+    sentinel border carries cls == 0, which self-masks wrapped lanes."""
+    lab_l, cls_l = jnp.roll(lab, 1, 1), jnp.roll(cls, 1, 1)
+    lab_r, cls_r = jnp.roll(lab, -1, 1), jnp.roll(cls, -1, 1)
+    m = lab
+    for lv, cv in ((lab_l, cls_l), (lab_r, cls_r)):
+        m = jnp.minimum(m, jnp.where(cv == cls, lv, big))
+    for base_l, base_c in ((lab, cls), (lab_l, cls_l), (lab_r, cls_r)):
+        for sgn in (1, -1):
+            lv = jnp.roll(base_l, sgn, 0)
+            cv = jnp.roll(base_c, sgn, 0)
+            m = jnp.minimum(m, jnp.where(cv == cls, lv, big))
+    return jnp.where(cls == 0, big, m)
+
+
+def _segscan_axis_mc(lab, cls, big, axis, size, border, n_strips: int = 1):
+    """Segmented min-scan along ``axis`` over SAME-CLASS runs.  Unlike the
+    binary form (runs delimited by background pixels, symmetric flags), a
+    class change between adjacent foreground pixels is a boundary with no
+    gap pixel, so the run-start flag is direction-dependent: for direction
+    ``sgn`` position i starts a run when its class differs from the class
+    at i - sgn (background counts as its own 'class 0' run and keeps
+    ``big``)."""
+    nsteps = min(max(1, int(np.ceil(np.log2(size)))), _B_STEPS)
+
+    def scan_strip(lab, cls):
+        idx_along = lax.broadcasted_iota(jnp.int32, lab.shape, axis)
+
+        def one_dir(v, sgn):
+            prev_cls = jnp.roll(cls, sgn, axis)
+            f = jnp.where(
+                jnp.logical_or(cls == 0, prev_cls != cls), 1, 0
+            ).astype(jnp.int32)
+            for s in range(nsteps):
+                d = 1 << s
+                vs = jnp.roll(v, sgn * d, axis)
+                fs = jnp.roll(f, sgn * d, axis)
+                if d > border:
+                    bad = (
+                        idx_along < d if sgn > 0 else idx_along >= size - d
+                    )
+                    fs = jnp.where(bad, 1, fs)
+                    vs = jnp.where(bad, big, vs)
+                v = jnp.where(f != 0, v, jnp.minimum(v, vs))
+                f = jnp.maximum(f, fs)
+            return v
+
+        fwd = one_dir(lab, +1)
+        bwd = one_dir(lab, -1)
+        return jnp.where(cls == 0, big, jnp.minimum(fwd, bwd))
+
+    if n_strips <= 1:
+        return scan_strip(lab, cls)
+    return jnp.concatenate(
+        [
+            scan_strip(ls, cs)
+            for ls, cs in zip(
+                _strip_slices(lab, axis, n_strips),
+                _strip_slices(cls, axis, n_strips),
+            )
+        ],
+        1 - axis,
+    )
+
+
+def _mc_fixpoint(clsp, hp, wp, h, w):
+    """Min-flat-index label fixpoint over an already-padded (hp, wp) int32
+    CLASS map (0 = background): every pixel converges to the min flat index
+    of its same-class 8-connected component.  Mirrors :func:`_cc_fixpoint`
+    (A-phase neighbor sweeps, B-phase segmented scans, same strip
+    blocking); one fixpoint labels every class at once -- the consumer
+    (ops/meta_post_tpu._size_thresh and friends) previously ran one binary
+    fixpoint per class."""
+    big = jnp.int32(hp * wp)
+    strips = _n_strips(hp, wp)
+
+    lab0 = jnp.where(clsp != 0, _flat_iota(hp, wp), big)
+
+    def delta(new, lab):
+        return jnp.max(jnp.where(new != lab, 1, 0)) > 0
+
+    def a_chunk(state):
+        lab, _, it = state
+        new = lab
+        for _ in range(_CHUNK):
+            new = _sweep3x3_mc(new, clsp, big)
+        return new, delta(new, lab), it + 1
+
+    def a_cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < _A_CHUNKS)
+
+    lab, changed, _ = lax.while_loop(
+        a_cond,
+        a_chunk,
+        (_sweep3x3_mc(lab0, clsp, big), jnp.bool_(True), jnp.int32(0)),
+    )
+
+    def b_step(state):
+        lab, _, it = state
+        new = _segscan_axis_mc(lab, clsp, big, 1, wp, _COL_PAD, strips)
+        new = _segscan_axis_mc(new, clsp, big, 0, hp, _ROW_PAD, strips)
+        new = _sweep3x3_mc(new, clsp, big)
+        return new, delta(new, lab), it + 1
+
+    def b_cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < _B_MAX)
+
+    lab, _, _ = lax.while_loop(b_cond, b_step, (lab, changed, jnp.int32(0)))
+    r, c = lab // wp, lab % wp
+    return jnp.where(lab == big, -1, r * w + c)[:h, :w].astype(jnp.int32)
+
+
+def _label_mc_kernel(h, w):
+    hp, wp = _padded_dims(h, w)
+
+    def kernel(cls_ref, lab_ref):
+        clsp = jnp.pad(
+            cls_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w))
+        )
+        lab_ref[0] = _mc_fixpoint(clsp, hp, wp, h, w)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def label_multiclass_pallas(
+    cls_map: jnp.ndarray, num_classes: int = 3
+) -> jnp.ndarray:
+    """Per-pixel min-flat-index root of the pixel's SAME-CLASS 8-connected
+    component; -1 where ``cls_map == 0``.  Identical to running
+    :func:`label_pallas` per class and merging (the per-class components
+    are the same sets), but ONE fixpoint covers them all.  Geometries
+    outside the VMEM envelope fall back to exactly that per-class merge
+    (banded/XLA labelers handle any size)."""
+    h, w = cls_map.shape
+    cls_map = cls_map.astype(jnp.int32)
+    if not _fits_vmem(h, w, op="label_mc"):
+        out = jnp.full((h, w), -1, jnp.int32)
+        for c in range(1, num_classes + 1):
+            lab_c = label_pallas(cls_map == c, connectivity=2)
+            out = jnp.where(cls_map == c, lab_c, out)
+        return out
+    lab = pl.pallas_call(
+        _label_mc_kernel(h, w),
+        out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
+        interpret=_interpret(),
+    )(cls_map[None])
+    return lab[0]
+
+
+def _sweep_flood_mc(r, cls):
+    """max (reachability) over same-class neighbors in the 3x3 window."""
+    r_l, cls_l = jnp.roll(r, 1, 1), jnp.roll(cls, 1, 1)
+    r_r, cls_r = jnp.roll(r, -1, 1), jnp.roll(cls, -1, 1)
+    m = r
+    for rv, cv in ((r_l, cls_l), (r_r, cls_r)):
+        m = jnp.maximum(m, jnp.where(cv == cls, rv, 0))
+    for base_r, base_c in ((r, cls), (r_l, cls_l), (r_r, cls_r)):
+        for sgn in (1, -1):
+            rv = jnp.roll(base_r, sgn, 0)
+            cv = jnp.roll(base_c, sgn, 0)
+            m = jnp.maximum(m, jnp.where(cv == cls, rv, 0))
+    return jnp.where(cls == 0, 0, m)
+
+
+def _segscan_max_axis_mc(r, cls, axis, size, border, n_strips: int = 1):
+    """Segmented MAX-scan over same-class runs (multiclass twin of
+    :func:`_segscan_max_axis`, direction-dependent run-start flags)."""
+    nsteps = min(max(1, int(np.ceil(np.log2(size)))), _B_STEPS)
+
+    def scan_strip(r, cls):
+        idx_along = lax.broadcasted_iota(jnp.int32, r.shape, axis)
+
+        def one_dir(v, sgn):
+            prev_cls = jnp.roll(cls, sgn, axis)
+            f = jnp.where(
+                jnp.logical_or(cls == 0, prev_cls != cls), 1, 0
+            ).astype(jnp.int32)
+            for s in range(nsteps):
+                d = 1 << s
+                vs = jnp.roll(v, sgn * d, axis)
+                fs = jnp.roll(f, sgn * d, axis)
+                if d > border:
+                    bad = (
+                        idx_along < d if sgn > 0 else idx_along >= size - d
+                    )
+                    fs = jnp.where(bad, 1, fs)
+                    vs = jnp.where(bad, 0, vs)
+                v = jnp.where(f != 0, v, jnp.maximum(v, vs))
+                f = jnp.maximum(f, fs)
+            return v
+
+        fwd = one_dir(r, +1)
+        bwd = one_dir(r, -1)
+        return jnp.where(cls == 0, 0, jnp.maximum(fwd, bwd))
+
+    if n_strips <= 1:
+        return scan_strip(r, cls)
+    return jnp.concatenate(
+        [
+            scan_strip(rs, cs)
+            for rs, cs in zip(
+                _strip_slices(r, axis, n_strips),
+                _strip_slices(cls, axis, n_strips),
+            )
+        ],
+        1 - axis,
+    )
+
+
+def _flood_mc_kernel(h, w):
+    hp, wp = _padded_dims(h, w)
+    strips = _n_strips(hp, wp)
+
+    def kernel(cls_ref, seed_ref, out_ref):
+        clsp = jnp.pad(
+            cls_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w))
+        )
+        seeds = (
+            jnp.pad(seed_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+            != 0
+        )
+        r = jnp.where((clsp != 0) & seeds, 1, 0).astype(jnp.int32)
+
+        def delta(new, old):
+            return jnp.max(jnp.where(new != old, 1, 0)) > 0
+
+        def a_chunk(state):
+            r, _, it = state
+            new = r
+            for _ in range(_CHUNK):
+                new = _sweep_flood_mc(new, clsp)
+            return new, delta(new, r), it + 1
+
+        def a_cond(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < _A_CHUNKS)
+
+        r, changed, _ = lax.while_loop(
+            a_cond,
+            a_chunk,
+            (_sweep_flood_mc(r, clsp), jnp.bool_(True), jnp.int32(0)),
+        )
+
+        def b_step(state):
+            r, _, it = state
+            new = _segscan_max_axis_mc(r, clsp, 1, wp, _COL_PAD, strips)
+            new = _segscan_max_axis_mc(new, clsp, 0, hp, _ROW_PAD, strips)
+            new = _sweep_flood_mc(new, clsp)
+            return new, delta(new, r), it + 1
+
+        def b_cond(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < _B_MAX)
+
+        r, _, _ = lax.while_loop(b_cond, b_step, (r, changed, jnp.int32(0)))
+        out_ref[0] = (r[:h, :w] != 0).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def flood_multiclass_pallas(
+    cls_map: jnp.ndarray, seeds: jnp.ndarray, num_classes: int = 3
+) -> jnp.ndarray:
+    """Boolean (H, W): pixels 8-connected to any seed pixel through runs of
+    their OWN class -- one fixpoint for all classes (the per-class floods
+    cannot leak into each other because class equality gates every step).
+    Falls back to per-class seeded floods outside the VMEM envelope."""
+    h, w = cls_map.shape
+    cls_map = cls_map.astype(jnp.int32)
+    if not _fits_vmem(h, w, op="flood_mc"):
+        out = jnp.zeros((h, w), bool)
+        for c in range(1, num_classes + 1):
+            m = cls_map == c
+            out = jnp.logical_or(
+                out,
+                flood_from_seeds_pallas(
+                    m, jnp.logical_and(seeds != 0, m), connectivity=2
+                ),
+            )
+        return out
+    out = pl.pallas_call(
+        _flood_mc_kernel(h, w),
+        out_shape=jax.ShapeDtypeStruct((1, h, w), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
+        interpret=_interpret(),
+    )(cls_map[None], seeds.astype(jnp.int32)[None])
+    return out[0] != 0
+
+
+def _label_flood_kernel(h, w, connectivity):
+    """Fused min-index labeling + seeded reachability over ONE fixpoint:
+    ops/meta_post_tpu._merge_comp needs both the component labels (for the
+    skipped-last-label quirk) and the 'component contains a seed' flood of
+    the SAME mask -- running them as one kernel shares the sweep loop and
+    halves the launch/iteration overhead versus two fixpoints."""
+    hp, wp = _padded_dims(h, w)
+    strips = _n_strips(hp, wp)
+
+    def kernel(mask_ref, seed_ref, lab_ref, fl_ref):
+        mp = jnp.pad(mask_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+        seeds = (
+            jnp.pad(seed_ref[0].astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+            != 0
+        )
+        big = jnp.int32(hp * wp)
+        lab0 = jnp.where(mp != 0, _flat_iota(hp, wp), big)
+        r0 = jnp.where((mp != 0) & seeds, 1, 0).astype(jnp.int32)
+
+        sweep_l = _sweep3x3 if connectivity == 2 else _sweep_cross
+
+        def sweep_r(r):
+            n = jnp.maximum(r, jnp.roll(r, 1, 1))
+            n = jnp.maximum(n, jnp.roll(r, -1, 1))
+            if connectivity == 2:
+                n = jnp.maximum(n, jnp.roll(n, 1, 0))
+                n = jnp.maximum(n, jnp.roll(n, -1, 0))
+            else:
+                n = jnp.maximum(n, jnp.roll(r, 1, 0))
+                n = jnp.maximum(n, jnp.roll(r, -1, 0))
+            return jnp.where(mp != 0, n, 0)
+
+        def delta(a, b):
+            return jnp.max(jnp.where(a != b, 1, 0)) > 0
+
+        def a_chunk(state):
+            lab, r, _, it = state
+            nl, nr = lab, r
+            for _ in range(_CHUNK):
+                nl = sweep_l(nl, big)
+                nr = sweep_r(nr)
+            return (
+                nl,
+                nr,
+                jnp.logical_or(delta(nl, lab), delta(nr, r)),
+                it + 1,
+            )
+
+        def a_cond(state):
+            _, _, changed, it = state
+            return jnp.logical_and(changed, it < _A_CHUNKS)
+
+        lab, r, changed, _ = lax.while_loop(
+            a_cond,
+            a_chunk,
+            (sweep_l(lab0, big), sweep_r(r0), jnp.bool_(True), jnp.int32(0)),
+        )
+
+        def b_step(state):
+            lab, r, _, it = state
+            nl = _segscan_axis(lab, big, 1, wp, _COL_PAD, strips)
+            nl = _segscan_axis(nl, big, 0, hp, _ROW_PAD, strips)
+            nr = _segscan_max_axis(r, mp, 1, wp, _COL_PAD, strips)
+            nr = _segscan_max_axis(nr, mp, 0, hp, _ROW_PAD, strips)
+            if connectivity == 2:
+                nl = sweep_l(nl, big)
+                nr = sweep_r(nr)
+            return (
+                nl,
+                nr,
+                jnp.logical_or(delta(nl, lab), delta(nr, r)),
+                it + 1,
+            )
+
+        def b_cond(state):
+            _, _, changed, it = state
+            return jnp.logical_and(changed, it < _B_MAX)
+
+        lab, r, _, _ = lax.while_loop(b_cond, b_step, (lab, r, changed, jnp.int32(0)))
+        rr, cc = lab // wp, lab % wp
+        lab_ref[0] = jnp.where(lab == big, -1, rr * w + cc)[:h, :w].astype(
+            jnp.int32
+        )
+        fl_ref[0] = (r[:h, :w] != 0).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity",))
+def label_and_flood_pallas(
+    mask: jnp.ndarray, seeds: jnp.ndarray, connectivity: int = 2
+):
+    """(labels, flooded) of one binary mask in ONE fused fixpoint kernel:
+    ``labels`` identical to :func:`label_pallas`, ``flooded`` identical to
+    :func:`flood_from_seeds_pallas` on the same mask/seeds.  Falls back to
+    the two separate calls outside the VMEM envelope."""
+    h, w = mask.shape
+    if not _fits_vmem(h, w, op="label_flood"):
+        return (
+            label_pallas(mask, connectivity=connectivity),
+            flood_from_seeds_pallas(mask, seeds, connectivity=connectivity),
+        )
+    lab, fl = pl.pallas_call(
+        _label_flood_kernel(h, w, connectivity),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, h, w), jnp.int32),
+            jax.ShapeDtypeStruct((1, h, w), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=116 * 1024 * 1024),
+        interpret=_interpret(),
+    )(mask.astype(jnp.int32)[None], seeds.astype(jnp.int32)[None])
+    return lab[0], fl[0] != 0
+
+
 def _flood_kernel(h, w, connectivity, seeded):
     """Reachability fixpoint through runs of a traversable mask, with no
     labeling and no scatter.  Seeds: the true-image border

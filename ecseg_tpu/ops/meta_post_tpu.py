@@ -188,6 +188,24 @@ def _fill_holes_class(img, class_id: int):
 MAX_COMP = 4096  # per-class component budget for the size-threshold stage
 
 
+def _use_mc() -> bool:
+    """Multiclass-fixpoint toggle (ECSEG_MC_LABEL=0 disables): one Pallas
+    fixpoint labels/floods ALL classes at once (cc_pallas.label_multiclass_
+    pallas) instead of one binary fixpoint per class -- bit-identical
+    per-class components, fewer kernel launches and fixpoint iterations.
+    Read at TRACE time: flipping the env var after meta_inference_tpu has
+    compiled in a process has no effect (clear the jit cache to re-trace).
+    """
+    import os
+
+    return os.environ.get("ECSEG_MC_LABEL", "1").strip().lower() not in (
+        "0",
+        "false",
+        "no",
+        "off",
+    )
+
+
 
 
 def _flagged_components(mask, roots, flags, hw):
@@ -230,19 +248,28 @@ def _size_thresh(img, hw):
     chrom = img == 2
     ec = img == 3
 
-    n_flat = _flat_roots(nuc)
-    c_flat = _flat_roots(chrom)
-    e_flat = _flat_roots(ec)
-    # disjoint classes: at most one of the three is a foreground root id
-    comb = jnp.where(
-        n_flat < hw,
-        n_flat,
-        jnp.where(
-            c_flat < hw,
-            c_flat + hw,
-            jnp.where(e_flat < hw, e_flat + 2 * hw, 3 * hw),
-        ),
-    )
+    if _use_mc():
+        # ONE multiclass fixpoint labels all three classes; the per-class
+        # offsets reproduce exactly the combined root space below
+        from .cc_pallas import label_multiclass_pallas
+
+        mlab = label_multiclass_pallas(img).reshape(-1)
+        clsf = img.reshape(-1)
+        comb = jnp.where(mlab < 0, 3 * hw, mlab + (clsf - 1) * hw)
+    else:
+        n_flat = _flat_roots(nuc)
+        c_flat = _flat_roots(chrom)
+        e_flat = _flat_roots(ec)
+        # disjoint classes: at most one of the three is a foreground root id
+        comb = jnp.where(
+            n_flat < hw,
+            n_flat,
+            jnp.where(
+                c_flat < hw,
+                c_flat + hw,
+                jnp.where(e_flat < hw, e_flat + 2 * hw, 3 * hw),
+            ),
+        )
     roots, counts, num = _compact_roots_sizes(comb, 3 * hw, 3 * MAX_COMP)
     valid = roots < 3 * hw
     rcls = jnp.where(valid, roots // hw, 3)  # 0=nuc, 1=chrom, 2=ec
@@ -265,9 +292,32 @@ def _size_thresh(img, hw):
     # which is exactly what this single labeling of the input provides
     small_ec = (rcls == 2) & (counts < EC_SIZE_THRESHOLD)
 
-    img = jnp.where(_flagged_components(nuc, root_px, small_nuc, hw), 0, img)
-    img = jnp.where(_flagged_components(chrom, root_px, conv_chrom, hw), 3, img)
-    img = jnp.where(_flagged_components(ec, root_px, small_ec, hw), 0, img)
+    if _use_mc():
+        # ONE multiclass flood marks every flagged component (class
+        # equality gates propagation, so per-class floods cannot leak);
+        # the three applications read the ORIGINAL class masks and are
+        # pixel-disjoint, exactly as the sequential form
+        from .cc_pallas import flood_multiclass_pallas
+
+        flags_any = small_nuc | conv_chrom | small_ec
+        seeds = (
+            jnp.zeros(hw + 1, jnp.int32)
+            .at[jnp.where(flags_any, root_px, hw)]
+            .set(1)[:hw]
+            .reshape(img.shape)
+        )
+        flooded = flood_multiclass_pallas(img, seeds)
+        img = jnp.where(
+            flooded & nuc,
+            0,
+            jnp.where(flooded & chrom, 3, jnp.where(flooded & ec, 0, img)),
+        )
+    else:
+        img = jnp.where(_flagged_components(nuc, root_px, small_nuc, hw), 0, img)
+        img = jnp.where(
+            _flagged_components(chrom, root_px, conv_chrom, hw), 3, img
+        )
+        img = jnp.where(_flagged_components(ec, root_px, small_ec, hw), 0, img)
 
     ok = (
         (num <= 3 * MAX_COMP)
@@ -443,8 +493,17 @@ def _component_sums_pair(img, hw):
 
     Returns (chrom dict, nuc dict, ok_budget)."""
     h, w = img.shape
-    c_flat = _flat_roots(img == 2)
-    n_flat = _flat_roots(img == 1)
+    if _use_mc():
+        from .cc_pallas import label_multiclass_pallas
+
+        cls12 = jnp.where((img == 1) | (img == 2), img, 0)
+        mlab = label_multiclass_pallas(cls12).reshape(-1)
+        clsf = cls12.reshape(-1)
+        c_flat = jnp.where((clsf == 2) & (mlab >= 0), mlab, hw)
+        n_flat = jnp.where((clsf == 1) & (mlab >= 0), mlab, hw)
+    else:
+        c_flat = _flat_roots(img == 2)
+        n_flat = _flat_roots(img == 1)
     comb = jnp.where(
         c_flat < hw,
         c_flat,
@@ -639,9 +698,18 @@ def _merge_comp(img, class_id: int, hw):
 
     fg = img != 0
     # "component contains a class_id pixel" as a seed flood (no scatter);
-    # the labeling is still needed for the skipped-last-label quirk
-    touched = flood_from_seeds_pallas(fg, img == class_id, connectivity=2)
-    flat = _flat_roots(fg)
+    # the labeling is still needed for the skipped-last-label quirk --
+    # both propagate in ONE fused fixpoint when the MC path is on
+    if _use_mc():
+        from .cc_pallas import label_and_flood_pallas
+
+        lab2d, touched = label_and_flood_pallas(
+            fg, img == class_id, connectivity=2
+        )
+        flat = jnp.where(lab2d < 0, hw, lab2d).reshape(-1)
+    else:
+        touched = flood_from_seeds_pallas(fg, img == class_id, connectivity=2)
+        flat = _flat_roots(fg)
     idx = jnp.arange(hw, dtype=jnp.int32)
     is_root = jnp.logical_and(flat == idx, flat < hw)
     max_root = jnp.max(jnp.where(is_root, idx, -1))

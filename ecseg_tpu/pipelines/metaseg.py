@@ -150,17 +150,17 @@ def _segment_post_group_jit(
         labels = stitch_labels_pallas(lp, positions)
         return labels, _post_blob(labels)
 
-    if os.environ.get("ECSEG_GROUP_POST", "vmap") == "scan":
-        # round-4 form (one canvas at a time); the vmapped default batches
-        # the post chain's XLA stages (sort chains, cumsums, morphology)
-        # across the group's canvases while the Pallas fixpoints run as
-        # sequential grid steps -- bit-identical either way (vmap adds a
-        # batch axis, the per-canvas program is unchanged)
-        _, (raws, blobs) = jax.lax.scan(
-            lambda c, lp: (c, post(lp)), 0, label_patches
-        )
-        return raws, blobs
-    return jax.vmap(post)(label_patches)
+    if os.environ.get("ECSEG_GROUP_POST", "scan") == "vmap":
+        # vmapping the post over the group batches the XLA stages but
+        # measured 13% SLOWER than the scan at 1024^2 on chip (bandwidth-
+        # bound stages don't amortize; the vmapped Pallas grid adds
+        # overhead).  Kept because it compiles ~3x faster at 2048^2 --
+        # bit-identical outputs either way.
+        return jax.vmap(post)(label_patches)
+    _, (raws, blobs) = jax.lax.scan(
+        lambda c, lp: (c, post(lp)), 0, label_patches
+    )
+    return raws, blobs
 
 
 def _group_size() -> int:
