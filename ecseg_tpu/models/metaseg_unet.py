@@ -113,11 +113,14 @@ def flops_per_patch(
 def _dec_first(skip, x, kernel, bias):
     """The decoder's first conv WITHOUT materializing the skip concat:
     ``conv(concat([skip, x]), K) == conv(skip, K[:, :, :Cs]) +
-    conv(x, K[:, :, Cs:])`` -- the concat buffer (the largest activations
-    in the network, 2x the level width at 256^2) never touches HBM.  Used
-    on the bf16 THROUGHPUT path only: the split changes f32 accumulation
-    order (two partial sums + add vs one dot), so the f32 parity path
-    keeps the literal concat form (bit-compatible with the TF goldens)."""
+    conv(x, K[:, :, Cs:])`` -- the concat buffer never touches HBM.
+
+    MEASURED NEGATIVE on this chip (r5): flagship 153.9 vs 167.9 t/s with
+    the concat -- halving the input channels (e.g. 64 -> 2x32 at level 1)
+    wastes more MXU lane occupancy than the concat traffic costs, i.e. XLA
+    already handles the concat near-optimally.  Kept as an opt-in
+    (ECSEG_SPLIT_CONCAT=1) for re-evaluation on wider archs, where the
+    split halves land on full 128-lane tiles."""
     cs = skip.shape[-1]
     ya = conv2d(skip.astype(x.dtype), kernel[:, :, :cs, :])
     yb = conv2d(x, kernel[:, :, cs:, :], bias)
@@ -128,8 +131,12 @@ def _trunk_to_level1(params: Dict, x: jnp.ndarray, dtype):
     """Encoder + bottleneck + decoder down THROUGH up1: returns
     (level-1 skip, upsampled level-1 feature) -- the two inputs of
     dec1_1.  bf16 runs the concat-free split decoder (see _dec_first)."""
+    import os
+
     levels = num_levels(params)
-    split = dtype != jnp.float32
+    split = dtype != jnp.float32 and os.environ.get(
+        "ECSEG_SPLIT_CONCAT", "0"
+    ).strip().lower() in ("1", "true", "yes", "on")
     x = x.astype(dtype)
     x = x / jnp.asarray(255.0, dtype)
 

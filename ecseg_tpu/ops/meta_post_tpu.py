@@ -698,9 +698,14 @@ def _merge_comp(img, class_id: int, hw):
 
     fg = img != 0
     # "component contains a class_id pixel" as a seed flood (no scatter);
-    # the labeling is still needed for the skipped-last-label quirk --
-    # both propagate in ONE fused fixpoint when the MC path is on
-    if _use_mc():
+    # the labeling is still needed for the skipped-last-label quirk.
+    # ECSEG_MC_MERGE=1 opts into the fused label+flood kernel
+    # (cc_pallas.label_and_flood_pallas) -- one fixpoint for both -- but it
+    # needs 125 MB scoped VMEM at the 1024^2 class (measured compile OOM at
+    # 116 MB), so the two-kernel form stays the default
+    import os as _os
+
+    if _os.environ.get("ECSEG_MC_MERGE", "0").strip().lower() in ("1", "true"):
         from .cc_pallas import label_and_flood_pallas
 
         lab2d, touched = label_and_flood_pallas(

@@ -69,6 +69,10 @@ def _run_branch(branch: str, workdir: str, inputs: dict) -> dict:
     shutil.copytree(inputs["inter"], inter_dir)
 
     os.environ["ECSEG_DEVICE_PIPELINE"] = branch
+    # fast start would serve these small folders through the host oracle
+    # and never exercise the device post programs -- the whole point of
+    # the device branch here -- so force it off (compiles included)
+    os.environ["ECSEG_FAST_START"] = "0"
     fallbacks.reset()
     cfg = Config(
         raw={
