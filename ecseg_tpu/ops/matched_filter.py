@@ -242,13 +242,46 @@ def get_thresholded_device_packed(
 def get_boundaries(s: np.ndarray, line_thickness: int = 1) -> np.ndarray:
     """Label-boundary visualization (reference stat_fish.py:91-107): detects
     horizontal/vertical label changes with [1]*t + [-1]*t kernels; returns
-    (H, W, 3) int with (b, -b, b) channels, b in {0, 255}."""
-    s = np.asarray(s, np.int64)
-    k = np.array(([1] * line_thickness) + ([-1] * line_thickness))
-    lr = (conv2d_same_tf(s, k[None, :]) == 0).astype(int)
-    tb = (conv2d_same_tf(s, k[:, None]) == 0).astype(int)
-    boundaries = ((lr + tb) != 2).astype(int) * 255
-    return np.dstack([boundaries, -boundaries, boundaries])
+    (H, W, 3) int with (b, -b, b) channels, b in {0, 255}.
+
+    Formulated as int32 shifted-window sums and an int16 result instead of
+    the generic int64 conv: the int64 form moved ~400 MB of host memory per
+    2048^2 image (0.52 s on this 1-core box, squarely on the stat_fish tail
+    critical path) vs ~0.13 s here.  Values are identical: label sums of
+    ``line_thickness`` labels fit int32, and every consumer either compares
+    against small constants or wraps through uint8, where int16 and int64
+    agree."""
+    s = np.asarray(s)
+    if s.dtype == np.int64 and (s.size == 0 or int(s.max()) < 2**30):
+        s = s.astype(np.int32)  # halve the shifted-window traffic
+    elif s.dtype != np.int64 and s.dtype != np.int32:
+        s = s.astype(np.int32)  # signed accumulator (uint would wrap)
+    t = line_thickness
+
+    def change(axis):
+        # conv with [1]*t + [-1]*t over TF-'SAME' zero padding == (sum of
+        # the t labels left of the tap) - (sum of the t right); nonzero
+        # means a label change inside the window
+        k = 2 * t
+        plo, phi = (k - 1) // 2, k - 1 - (k - 1) // 2
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (plo, phi)
+        xp = np.pad(s, pad)
+        H, W = s.shape
+        acc = np.zeros(s.shape, xp.dtype)
+        for a in range(k):
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(a, a + (H if axis == 0 else W))
+            view = xp[tuple(sl)]
+            if a < t:
+                acc += view
+            else:
+                acc -= view
+        return acc != 0  # label change across the window
+
+    boundary = change(0) | change(1)
+    b = boundary.astype(np.int16) * 255
+    return np.dstack([b, -b, b])
 
 
 def merge_channels(img: np.ndarray, aqua_rgb) -> np.ndarray:

@@ -130,14 +130,23 @@ def cell_geometry(cells: np.ndarray) -> Tuple[np.ndarray, np.ndarray, list]:
     """(labels, areas, centroid strings 'y_x') for every label present in
     ``cells``, ascending -- the same visit order and values regionprops
     yields (reference stat_fish.py:260-266).  Labels need not be
-    consecutive (the min-cut splitter can leave gaps)."""
+    consecutive (the min-cut splitter can leave gaps).
+
+    Centroid sums run over the LABELED pixels only (flatnonzero compress):
+    nuclei cover a few percent of a 2048^2 field, and full-image f64 iota
+    bincounts cost ~1 s on this 1-core host (measured) vs ~0.1 s
+    compressed -- host CPU is the stat_fish critical path.  f64 bincount
+    sums of integer coordinates are exact (< 2^53), so values and the
+    centroid truncation are unchanged."""
     ncells = int(cells.max())
     flat = cells.ravel()
     areas_all = np.bincount(flat, minlength=ncells + 1)
     labels = np.nonzero(areas_all[1:])[0] + 1
-    ys, xs = np.indices(cells.shape)
-    sy = np.bincount(flat, weights=ys.ravel(), minlength=ncells + 1)
-    sx = np.bincount(flat, weights=xs.ravel(), minlength=ncells + 1)
+    sel = np.flatnonzero(flat)
+    lab_sel = flat[sel]
+    w = cells.shape[1]
+    sy = np.bincount(lab_sel, weights=sel // w, minlength=ncells + 1)
+    sx = np.bincount(lab_sel, weights=sel % w, minlength=ncells + 1)
     cents = [
         f"{int(sy[k] / areas_all[k])}_{int(sx[k] / areas_all[k])}" for k in labels
     ]

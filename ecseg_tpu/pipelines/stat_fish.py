@@ -261,8 +261,11 @@ def main(argv=None, config: Optional[Config] = None, params=None) -> int:
             thresholded[..., c][removed] = 0
             fish_blobs.append(list(counts[cell_labels]))
             fish_sizes.append(list(px[cell_labels]))
+            # pass the u8 channel directly: the int64 copy was a full-image
+            # host allocation per channel, and per_cell_intensity's f64
+            # sums/max are exact for u8 values either way
             avg, mx = region_stats.per_cell_intensity(
-                I[..., c + 1].astype(np.int64), labeled_segmented_cells
+                I[..., c + 1], labeled_segmented_cells
             )
             avg_fish.append(list(avg[cell_labels]))
             max_fish.append(list(mx[cell_labels].astype(np.int64)))
