@@ -232,13 +232,17 @@ def binary_seg_to_instance_min_cut(
     labeled, num_cells = cc_label(
         segmented_cells != 0, connectivity=1, return_num=True
     )
-    areas = [r.area for r in regionprops(labeled)]
+    # one full-image regionprops pass serves both the median-area gate and
+    # the split loop (each pass is a full-image bincount + find_objects on
+    # this 1-core host)
+    regions = regionprops(labeled)
+    areas = [r.area for r in regions]
     expected = np.median(areas) if areas else np.nan
     distance = (-1 + int(np.sqrt(1 + (2 * flow_limit)))) // 2
     assert distance > 0
 
     updated = labeled.copy()
-    for region in regionprops(labeled):
+    for region in regions:
         mask = (labeled[region.slice] == region.label).astype(int)
         if region.area > cell_size_threshold_coeff * expected:
             center_ls = get_centers(mask)
