@@ -214,6 +214,11 @@ def main() -> int:
         "fallbacks_host_branch": results["0"]["fallbacks"],
         "fallbacks_device_branch": results["1"]["fallbacks"],
         "wall_s": round(time.perf_counter() - t0, 1),
+        "corpus_geometries": {
+            "metaseg": ["700x900 x2 (grouped pair)", "2048x2048 (banded kernels + patch-budget partial group)", "1040x1300 (third geometry, partial group)"],
+            "interphase": ["512x640"],
+        },
+        "fast_start": "forced off (device branch must execute the device post programs)",
         "note": (
             "all five pipelines run twice on the same inputs "
             "(ECSEG_DEVICE_PIPELINE=0 vs 1) with deterministic demo "
