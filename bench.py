@@ -98,11 +98,14 @@ def build(
 
     batch_tiles, nchunks = _sizes(arch)
     if full:
-        # 16-tile groups: the r5 itemization measured the full program's
-        # forward at 7.06 ms/tile with 8-tile groups vs ~5.3 at the
-        # flagship's 32-tile chunks -- 400-patch convs recover most of the
-        # MXU fill while the canvases + activations stay well inside HBM
-        batch_tiles = max(4, batch_tiles // 2)
+        # full-size (32-tile) groups: the r5 itemization measured the full
+        # program's forward at 7.06 ms/tile with 8-tile groups vs ~5.3 at
+        # 32-tile chunks (MXU under-fill); measured 60.5 -> 64.4 -> 66.2
+        # t/s at 8 -> 16 -> 32 tiles, and the canvases + bf16 activations
+        # stay inside HBM at 32.  ECSEG_BENCH_FULL_TILES overrides.
+        batch_tiles = int(
+            os.environ.get("ECSEG_BENCH_FULL_TILES", "0")
+        ) or batch_tiles
     h = w = 1024
     positions = tuple(map(tuple, tiling.patch_positions(h, w)))
 
