@@ -599,8 +599,19 @@ def main(argv=None, config: Optional[Config] = None) -> int:
 
             fast_start = _fast_start_enabled()
             sig_seen = set()  # (pos_key, padded-group-size) sightings
+            n_total = len(image_paths)
+            n_done = 0
+            # a cold COMPILE of the group program only pays off when enough
+            # work remains to hide it (the no-orphan drain otherwise stalls
+            # main at exit for the compile's tail: measured 281 s wall on a
+            # 24-image folder, ~245 s of it drain).  A disk LOAD costs ~1 s
+            # and is worth starting on any folder.
+            build_min = int(
+                os.environ.get("ECSEG_BUILD_MIN_REMAINING", "64")
+            )
 
             def flush(pos_key, items):
+                nonlocal n_done
                 # pad partial groups to the next power of two (not the full
                 # group): one program per occupied size bucket instead of
                 # 8x overcompute on a 1-image folder; the executable cache
@@ -624,9 +635,16 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                     # second sighting on, the build runs in a progcache
                     # background thread (drained before main returns) while
                     # groups keep flowing through the small forward program
-                    # + host oracle.  Bytes identical either way.
+                    # + host oracle -- and a cold compile is only started
+                    # when a cached executable likely exists on disk OR
+                    # enough images remain to hide the compile behind real
+                    # work.  Bytes identical either way.
                     skey = (pos_key, padded)
-                    if skey in sig_seen:
+                    may_build = skey in sig_seen and (
+                        _segment_post_group_jit.likely_cached()
+                        or (n_total - n_done) >= build_min
+                    )
+                    if may_build:
                         ready = _segment_post_group_jit.ready_or_build_async(
                             params, stacked_dev, forward_fn, pos_key,
                             jnp.float32,
@@ -637,6 +655,7 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                             params, stacked_dev, forward_fn, pos_key,
                             jnp.float32,
                         )
+                    n_done += len(items)
                     if not ready:
                         from ..runtime import fallbacks
 
@@ -689,15 +708,26 @@ def main(argv=None, config: Optional[Config] = None) -> int:
         def _per_image():
             fast_start = _fast_start_enabled()
             sig_seen = set()
+            n_total = len(image_paths)
+            build_min = int(
+                os.environ.get("ECSEG_BUILD_MIN_REMAINING", "64")
+            )
+            n_done = 0
             for i, (patches, pos) in prefetch_map(_prepare_image, image_paths):
                 if device_post:
                     patches_dev = jnp.asarray(patches)
                     if fast_start:
                         # same protocol as the grouped path: first sighting
                         # of a geometry never builds; later sightings build
-                        # in the background while images flow through the
+                        # in the background (cold compiles only when a disk
+                        # entry likely exists or enough images remain to
+                        # hide the compile) while images flow through the
                         # forward program + host oracle
-                        if pos in sig_seen:
+                        may_build = pos in sig_seen and (
+                            _segment_post_jit.likely_cached()
+                            or (n_total - n_done) >= build_min
+                        )
+                        if may_build:
                             ready = _segment_post_jit.ready_or_build_async(
                                 params, patches_dev, forward_fn, pos,
                                 jnp.float32,
@@ -708,6 +738,7 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                                 params, patches_dev, forward_fn, pos,
                                 jnp.float32,
                             )
+                        n_done += 1
                         if not ready:
                             from ..runtime import fallbacks
 

@@ -290,6 +290,24 @@ class CachedJit:
         return compiled
 
     # -- async fast-start ------------------------------------------------
+    def likely_cached(self) -> bool:
+        """Cheap disk probe: does ANY serialized executable exist for this
+        program name?  Loading one costs ~1 s (+ the first-call lottery, in
+        the background) -- worth starting even on a short folder -- while a
+        cold COMPILE can take minutes whose only beneficiary is a future
+        process, and the no-orphan drain would stall this one at exit.
+        Name-level, not signature-level (the exact key needs a 3 s
+        lowering): a stale same-name entry just means one background
+        compile that callers gated on folder length anyway."""
+        try:
+            import glob
+
+            return bool(
+                glob.glob(os.path.join(cache_dir(), f"{self._name}-*.pjrt"))
+            )
+        except Exception:
+            return False
+
     def ready(self, *args, **kw) -> bool:
         """Pure non-blocking probe: True when a call with these args would
         run at steady-state speed (memoized executable, or the plain-jit
