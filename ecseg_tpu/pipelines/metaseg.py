@@ -640,9 +640,18 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                     # enough images remain to hide the compile behind real
                     # work.  Bytes identical either way.
                     skey = (pos_key, padded)
+                    # a disk LOAD is cheap but its background WARMUP call
+                    # still pays this attachment's first-invocation lottery
+                    # (10-200 s) and the no-orphan drain joins it -- so even
+                    # loads need enough remaining work to pay off (half the
+                    # cold-compile threshold)
+                    remaining = n_total - n_done
                     may_build = skey in sig_seen and (
-                        _segment_post_group_jit.likely_cached()
-                        or (n_total - n_done) >= build_min
+                        remaining >= build_min
+                        or (
+                            remaining >= max(16, build_min // 2)
+                            and _segment_post_group_jit.likely_cached()
+                        )
                     )
                     if may_build:
                         ready = _segment_post_group_jit.ready_or_build_async(
@@ -723,9 +732,13 @@ def main(argv=None, config: Optional[Config] = None) -> int:
                         # entry likely exists or enough images remain to
                         # hide the compile) while images flow through the
                         # forward program + host oracle
+                        remaining = n_total - n_done
                         may_build = pos in sig_seen and (
-                            _segment_post_jit.likely_cached()
-                            or (n_total - n_done) >= build_min
+                            remaining >= build_min
+                            or (
+                                remaining >= max(16, build_min // 2)
+                                and _segment_post_jit.likely_cached()
+                            )
                         )
                         if may_build:
                             ready = _segment_post_jit.ready_or_build_async(
