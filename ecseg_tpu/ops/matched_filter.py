@@ -16,7 +16,6 @@ convolution exists in two twins:
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
