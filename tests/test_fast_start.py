@@ -137,3 +137,79 @@ def test_drain_builds_idempotent():
 
     progcache.drain_builds()
     progcache.drain_builds(cancel_pending=False)
+
+
+def test_build_min_remaining_gates_group_builds(tmp_path, rng, monkeypatch):
+    """ECSEG_BUILD_MIN_REMAINING gating on the single-chip grouped path (the
+    PRODUCT_METASEG_r5 pathology: a short folder must NOT start a background
+    group-post build whose no-orphan drain stalls exit).  The suite's
+    8-device mesh routes metaseg through the sharded branch, so jax.devices
+    is pinned to one device here to reach the grouped fast-start protocol.
+
+    With the threshold above the folder length every image is served by the
+    fast-start host oracle and the group program is never built; with the
+    threshold at 1 the second same-signature group sighting launches the
+    background build.  Artifacts are byte-identical in all three runs."""
+    import jax
+
+    from ecseg_tpu.pipelines import metaseg
+
+    one = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: one)
+    monkeypatch.setenv("ECSEG_METASEG_GROUP", "2")  # 6 imgs -> 3 flushes
+
+    grp = metaseg._segment_post_group_jit
+    folders = {}
+    state = None
+    for name in ("gated", "built", "plain"):
+        f = str(tmp_path / name)
+        if state is None:
+            state = _make_folder(f, rng, n_imgs=6)
+        else:
+            rng.bit_generator.state = state
+            _make_folder(f, rng, n_imgs=6)
+        folders[name] = f
+
+    # count gating decisions, not completed compiles: on CPU the folder
+    # tail can finish before the background build issues its compile, and
+    # the no-orphan drain then legitimately CANCELS it (stats never move)
+    launches = []
+    orig_async = grp.ready_or_build_async
+    monkeypatch.setattr(
+        grp,
+        "ready_or_build_async",
+        lambda *a, **k: (launches.append(1), orig_async(*a, **k))[1],
+    )
+
+    def run(name, fast_start, build_min):
+        monkeypatch.setenv("ECSEG_BUILD_MIN_REMAINING", str(build_min))
+        before = len(launches)
+        out = _run(
+            folders[name], monkeypatch, tmp_path,
+            fast_start=fast_start, cache_on=True,
+        )
+        return out, len(launches) - before
+
+    # fast-start runs FIRST: the plain run memoizes the group program
+    # in-process, which would make ready() True and mask the gating
+    gated, gated_builds = run("gated", fast_start=True, build_min=1000)
+    assert gated_builds == 0, "short folder must not build the group program"
+    assert gated["fallbacks"].get("metaseg_fast_start") == 6
+
+    built, built_builds = run("built", fast_start=True, build_min=1)
+    assert built_builds >= 1, "second sighting must launch the build"
+    # first flush never builds (2 images), second flush starts the build and
+    # serves through the oracle (2 more); the third may or may not catch the
+    # finished build
+    assert 4 <= built["fallbacks"].get("metaseg_fast_start", 0) <= 6
+
+    plain, _ = run("plain", fast_start=False, build_min=64)
+    for k in plain:
+        if k == "fallbacks":
+            continue
+        assert plain[k] == gated[k], k
+        assert plain[k] == built[k], k
+
+    from ecseg_tpu.runtime import progcache
+
+    assert not any(t.is_alive() for t in progcache._BUILDS)
