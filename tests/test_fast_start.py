@@ -139,16 +139,19 @@ def test_drain_builds_idempotent():
     progcache.drain_builds(cancel_pending=False)
 
 
-def test_build_min_remaining_gates_group_builds(tmp_path, rng, monkeypatch):
-    """ECSEG_BUILD_MIN_REMAINING gating on the single-chip grouped path (the
+@pytest.mark.parametrize("group", [2, 1], ids=["grouped", "per-image"])
+def test_build_min_remaining_gates_builds(group, tmp_path, rng, monkeypatch):
+    """ECSEG_BUILD_MIN_REMAINING gating on the single-chip paths (the
     PRODUCT_METASEG_r5 pathology: a short folder must NOT start a background
-    group-post build whose no-orphan drain stalls exit).  The suite's
+    device-post build whose no-orphan drain stalls exit).  The suite's
     8-device mesh routes metaseg through the sharded branch, so jax.devices
-    is pinned to one device here to reach the grouped fast-start protocol.
+    is pinned to one device here to reach the fast-start protocol — grouped
+    dispatch (group=2: 6 images -> 3 same-signature flushes) and the
+    per-image path (group=1) gate with the same rule on different programs.
 
     With the threshold above the folder length every image is served by the
-    fast-start host oracle and the group program is never built; with the
-    threshold at 1 the second same-signature group sighting launches the
+    fast-start host oracle and the device-post program is never built; with
+    the threshold at 1 the second same-signature sighting launches the
     background build.  Artifacts are byte-identical in all three runs."""
     import jax
 
@@ -156,9 +159,13 @@ def test_build_min_remaining_gates_group_builds(tmp_path, rng, monkeypatch):
 
     one = jax.devices()[:1]
     monkeypatch.setattr(jax, "devices", lambda *a, **k: one)
-    monkeypatch.setenv("ECSEG_METASEG_GROUP", "2")  # 6 imgs -> 3 flushes
+    monkeypatch.setenv("ECSEG_METASEG_GROUP", str(group))
 
-    grp = metaseg._segment_post_group_jit
+    grp = (
+        metaseg._segment_post_group_jit
+        if group > 1
+        else metaseg._segment_post_jit
+    )
     folders = {}
     state = None
     for name in ("gated", "built", "plain"):
@@ -198,10 +205,10 @@ def test_build_min_remaining_gates_group_builds(tmp_path, rng, monkeypatch):
 
     built, built_builds = run("built", fast_start=True, build_min=1)
     assert built_builds >= 1, "second sighting must launch the build"
-    # first flush never builds (2 images), second flush starts the build and
-    # serves through the oracle (2 more); the third may or may not catch the
-    # finished build
-    assert 4 <= built["fallbacks"].get("metaseg_fast_start", 0) <= 6
+    # the first sighting never builds, the second launches the build and
+    # still serves through the oracle; later dispatches may or may not
+    # catch the finished build
+    assert 2 * group <= built["fallbacks"].get("metaseg_fast_start", 0) <= 6
 
     plain, _ = run("plain", fast_start=False, build_min=64)
     for k in plain:
