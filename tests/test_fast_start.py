@@ -72,15 +72,29 @@ def _run(folder, monkeypatch, tmp_path, fast_start, cache_on):
 def test_fast_start_outputs_byte_identical(tmp_path, rng, monkeypatch):
     """The fast-start run (whatever mix of host-oracle and device groups it
     ends up using) produces byte-identical artifacts to the plain device
-    run, and no background build survives main()."""
+    run, and no background build survives main().  jax.devices is pinned to
+    one device: on the suite's 8-device mesh metaseg takes the sharded
+    branch, where the fast-start protocol never engages (and this test
+    would compare two identical sharded runs)."""
+    import jax
+
+    one = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: one)
+
     a = str(tmp_path / "plain")
     state = _make_folder(a, rng)
     rng.bit_generator.state = state
     b = str(tmp_path / "fast")
     _make_folder(b, rng)
 
-    plain = _run(a, monkeypatch, tmp_path, fast_start=False, cache_on=True)
+    # fast-start run FIRST: the plain run memoizes the device-post program
+    # in-process, which would flip ready() True and bypass the protocol
     fast = _run(b, monkeypatch, tmp_path, fast_start=True, cache_on=True)
+    plain = _run(a, monkeypatch, tmp_path, fast_start=False, cache_on=True)
+
+    # 3 images < ECSEG_BUILD_MIN_REMAINING: every image must have served
+    # through the fast-start host oracle, not the device-post program
+    assert fast["fallbacks"].get("metaseg_fast_start") == 3
 
     for k in plain:
         if k == "fallbacks":
