@@ -190,12 +190,20 @@ def test_metaseg_grouped_single_chip_matches_per_image(tmp_path, monkeypatch, rn
         ("per_image", "1", None),
         ("grouped", "8", None),
         ("clamped", "8", "4"),
+        ("vmap", "8", None),
     ]:
         monkeypatch.setenv("ECSEG_METASEG_GROUP", g)
         if budget is None:
             monkeypatch.delenv("ECSEG_METASEG_PATCH_BUDGET", raising=False)
         else:
             monkeypatch.setenv("ECSEG_METASEG_PATCH_BUDGET", budget)
+        if mode == "vmap":
+            # ECSEG_GROUP_POST is read at TRACE time and the group program
+            # is cached by call signature (env excluded) -- clear the trace
+            # cache so the vmap form actually traces instead of silently
+            # reusing the scan-form executable from the "grouped" run
+            monkeypatch.setenv("ECSEG_GROUP_POST", "vmap")
+            metaseg._segment_post_group_jit._jit.clear_cache()
         d = str(tmp_path / mode)
         make_folder(d)
         assert metaseg.main(config=Config(raw={"metaseg": {"inpath": d}})) == 0
@@ -206,5 +214,9 @@ def test_metaseg_grouped_single_chip_matches_per_image(tmp_path, monkeypatch, rn
             with open(os.path.join(d, rel), "rb") as f:
                 files[rel] = f.read()
         outs[mode] = files
+    # leave neither the vmap env nor its traced program behind for later
+    # tests that hit the same call signatures
+    metaseg._segment_post_group_jit._jit.clear_cache()
     assert outs["per_image"] == outs["grouped"]
     assert outs["per_image"] == outs["clamped"]
+    assert outs["per_image"] == outs["vmap"]  # ECSEG_GROUP_POST bit-identity
