@@ -32,6 +32,22 @@ def test_matches_host_on_random_maps(rng):
         _check(_random_label_map(rng))
 
 
+def test_matches_host_with_multiclass_fixpoints_off(rng, monkeypatch):
+    """ECSEG_MC_LABEL=0 reverts to the per-class fixpoint formulation; the
+    device twin must stay bit-equal to the host oracle either way.  The
+    toggle is read at TRACE time and meta_inference_tpu is module-jitted,
+    so the jit cache is cleared on both sides (the earlier tests traced the
+    default multiclass form at the same call signature)."""
+    monkeypatch.setenv("ECSEG_MC_LABEL", "0")
+    meta_inference_tpu.clear_cache()
+    try:
+        for _ in range(2):
+            _check(_random_label_map(rng))
+    finally:
+        # do not leave the MC-off trace behind for later default-env tests
+        meta_inference_tpu.clear_cache()
+
+
 def test_matches_host_degenerate_maps(rng):
     h, w = 96, 128
     _check(np.zeros((h, w), np.int64))  # empty
