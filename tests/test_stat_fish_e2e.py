@@ -242,8 +242,24 @@ def test_stat_fish_sharded_matches_sequential(
             cv2.imwrite(os.path.join(d, f"im{k}.tif"), img)
 
     outs = {}
-    for mode, env in [("seq", "0"), ("shard", "1")]:
+    # tail1/tail4 size the single-device host-tail pool
+    # (ECSEG_STAT_FISH_TAIL_WORKERS, default 2) to its backpressure
+    # extremes: 1 serializes every tail behind the inflight bound, 4 never
+    # applies backpressure with 4 images -- CSV/npy/tif bytes must not
+    # depend on the overlap schedule
+    for mode, env, workers in [
+        ("seq", "0", None),
+        ("shard", "1", None),
+        ("tail1", "0", "1"),
+        ("tail4", "0", "4"),
+    ]:
         monkeypatch.setenv("ECSEG_STAT_FISH_SHARD", env)
+        if workers is None:
+            monkeypatch.delenv(
+                "ECSEG_STAT_FISH_TAIL_WORKERS", raising=False
+            )
+        else:
+            monkeypatch.setenv("ECSEG_STAT_FISH_TAIL_WORKERS", workers)
         d = str(tmp_path / mode)
         make_folder(d)
         cfg = Config(
@@ -266,6 +282,7 @@ def test_stat_fish_sharded_matches_sequential(
                     with open(os.path.join(root, f), "rb") as fh:
                         files[rel] = fh.read()
         outs[mode] = files
-    assert set(outs["seq"]) == set(outs["shard"])
-    for k in outs["seq"]:
-        assert outs["seq"][k] == outs["shard"][k], k
+    for other in ("shard", "tail1", "tail4"):
+        assert set(outs["seq"]) == set(outs[other]), other
+        for k in outs["seq"]:
+            assert outs["seq"][k] == outs[other][k], (other, k)
